@@ -1,0 +1,76 @@
+"""penguin_tpu — a TPU-native cut-cell finite-volume framework.
+
+From-scratch JAX/XLA/Pallas re-design of the capabilities of the Julia
+reference Penguin.jl (see SURVEY.md): level-set capacity construction,
+matrix-free cut-cell operators, scalar diffusion / advection-diffusion /
+Darcy solvers, diphasic interface-jump systems, moving interfaces (prescribed
+and Stefan front-tracking), and Stokes/Navier-Stokes saddle-point solvers —
+all jit-compiled, with Krylov solves replacing sparse direct factorization.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: compiles in this environment go through a
+# remote service (~40 s/graph), so caching across processes is essential.
+_cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # pragma: no cover - cache is an optimization only
+    pass
+
+from .mesh import Mesh, SpaceTimeMesh
+from . import geometry
+from .capacity import Capacity, compute_capacity
+from .operators import (
+    DiffusionOps,
+    ConvectionOps,
+    make_diffusion_ops,
+    make_convection_ops,
+)
+from .boundary import (
+    Dirichlet,
+    Neumann,
+    Robin,
+    Periodic,
+    Symmetry,
+    Outflow,
+    GibbsThomson,
+    ScalarJump,
+    FluxJump,
+    BorderConditions,
+    InterfaceConditions,
+)
+from .phase import Phase, Fluid
+from .convergence import check_convergence, check_convergence_diph, lp_norm
+
+__all__ = [
+    "Mesh",
+    "SpaceTimeMesh",
+    "geometry",
+    "Capacity",
+    "compute_capacity",
+    "DiffusionOps",
+    "ConvectionOps",
+    "make_diffusion_ops",
+    "make_convection_ops",
+    "Dirichlet",
+    "Neumann",
+    "Robin",
+    "Periodic",
+    "Symmetry",
+    "Outflow",
+    "GibbsThomson",
+    "ScalarJump",
+    "FluxJump",
+    "BorderConditions",
+    "InterfaceConditions",
+    "Phase",
+    "Fluid",
+    "check_convergence",
+    "check_convergence_diph",
+    "lp_norm",
+]

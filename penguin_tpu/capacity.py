@@ -1,0 +1,251 @@
+"""Cut-cell capacity construction (geometric moments) in JAX.
+
+TPU-native re-implementation of the reference capacity layer
+(``/root/reference/src/capacity.jl``): for a signed-distance ``body`` and a
+Cartesian mesh it produces the diagonal "capacities" that parameterize every
+discrete operator:
+
+- ``V``    : wetted volume per cell                       (0-moment)
+- ``A[d]`` : wetted area of the lower face of each cell along axis ``d``
+             (faces ``k=0..n_d``, face ``k`` at ``nodes[d][k]``)
+- ``B[d]`` : wetted measure of the plane through the cell centroid with
+             coordinate ``d`` fixed
+- ``W[d]`` : staggered volumes between adjacent cell centroids
+- ``C_om`` : cell centroids, ``C_ga``: interface centroids
+- ``Gamma``: interface measure per cell
+- ``cell_types``: 1 full / -1 cut / 0 empty
+
+All arrays live on the padded DOF grid of shape ``(n_1+1, ..., n_N+1)``
+(see ``mesh.py``); the extra slot per axis carries zeros.  Everything is
+computed by batched fixed-shape quadrature (``quadrature.py``) and is fully
+jittable, including on space-time meshes used by the moving-interface
+solvers.
+
+Differences from the reference backends (both within the cross-validation
+tolerances the reference itself uses in ``test/capacity_test.jl:6-60``):
+
+- ``Gamma`` uses the exact divergence identity ``∫_Γ n_d dS = A_d[i] -
+  A_d[i+1]`` and equals ``|∫_Γ n dS|`` (exact for a flat interface cut,
+  O(h^3) per cell otherwise).
+- ``C_ga`` is the closest-point projection of the cell center onto the zero
+  level set (O(h^2), smooth, cheap) instead of a surface-integral centroid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .quadrature import box_integrals
+
+__all__ = ["Capacity", "compute_capacity"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "B", "V", "W", "C_om", "C_ga", "Gamma", "cell_types"],
+    meta_fields=["mesh", "body"],
+)
+@dataclasses.dataclass
+class Capacity:
+    A: tuple
+    B: tuple
+    V: jnp.ndarray
+    W: tuple
+    C_om: jnp.ndarray  # shape np_shape + (N,)
+    C_ga: jnp.ndarray  # shape np_shape + (N,)
+    Gamma: jnp.ndarray
+    cell_types: jnp.ndarray  # int8: 0 empty, 1 full, -1 cut
+    mesh: object = dataclasses.field(default=None)
+    body: object = dataclasses.field(default=None, compare=False)
+
+    @property
+    def ndim(self):
+        return len(self.A)
+
+    @property
+    def np_shape(self):
+        return self.V.shape
+
+
+def _cell_bounds(mesh, dtype):
+    """Per-dim broadcastable lower/upper cell bounds over the cell grid."""
+    N = mesh.ndim
+    lo, hi = [], []
+    for d in range(N):
+        shp = [1] * N
+        shp[d] = mesh.n[d]
+        nodes = np.asarray(mesh.nodes[d], dtype=dtype)
+        lo.append(jnp.asarray(nodes[:-1].reshape(shp)))
+        hi.append(jnp.asarray(nodes[1:].reshape(shp)))
+    return lo, hi
+
+
+def _pad_cells(arr, np_shape):
+    """Embed a cell-grid array into the padded DOF grid (zeros elsewhere)."""
+    pad = [(0, np_shape[d] - arr.shape[d]) for d in range(len(np_shape))]
+    return jnp.pad(arr, pad)
+
+
+def _insert(coords, d, value):
+    coords = list(coords)
+    coords.insert(d, value)
+    return coords
+
+
+def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
+                     compute_centroids: bool = True) -> Capacity:
+    """Compute all cut-cell capacities for ``body`` on ``mesh``.
+
+    ``body`` must accept ``mesh.ndim`` coordinate arrays (broadcasting) and
+    return the signed distance (negative = fluid).  The whole pipeline runs
+    as a single jitted XLA program (compiles once per (body, mesh) shape,
+    persistent-cached across processes).
+    """
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+    return _compute_capacity_jit(body, mesh, p, s, jnp.dtype(dtype).name,
+                                 compute_centroids)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
+    dtype = jnp.dtype(dtype_name)
+    N = mesh.ndim
+    n = mesh.n
+    np_shape = mesh.np_shape
+    lo, hi = _cell_bounds(mesh, dtype)
+
+    # --- volumes + centroids -------------------------------------------------
+    V_cells, moms = box_integrals(body, lo, hi, p=p, s=s)
+    full_vol = 1.0
+    for d in range(N):
+        full_vol = full_vol * (hi[d] - lo[d])
+    eps = 1e-10
+    is_empty = V_cells <= eps * full_vol
+    is_full = V_cells >= (1.0 - eps) * full_vol
+    is_cut = (~is_empty) & (~is_full)
+    cell_types = jnp.where(is_empty, 0, jnp.where(is_full, 1, -1)).astype(jnp.int8)
+    V_cells = jnp.where(is_empty, 0.0, jnp.where(is_full, full_vol, V_cells))
+
+    box_center = [jnp.broadcast_to(0.5 * (lo[d] + hi[d]), n) for d in range(N)]
+    Vsafe = jnp.maximum(V_cells, 1e-300)
+    C_cells = [
+        jnp.where(is_cut, moms[d] / Vsafe, box_center[d]) for d in range(N)
+    ]
+
+    # --- face capacities A[d] ------------------------------------------------
+    A = []
+    for d in range(N):
+        shp = [1] * N
+        shp[d] = n[d] + 1
+        fco = jnp.asarray(np.asarray(mesh.nodes[d], dtype=dtype).reshape(shp))
+        if N == 1:
+            Ad = (body(fco) <= 0.0).astype(dtype)
+        else:
+            cross_lo = [lo[i] for i in range(N) if i != d]
+            cross_hi = [hi[i] for i in range(N) if i != d]
+
+            def phi_face(*cs, _d=d, _f=fco):
+                return body(*_insert(cs, _d, _f))
+
+            Ad, _ = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
+            Ad = jnp.broadcast_to(Ad, tuple(n[i] + 1 if i == d else n[i] for i in range(N)))
+        A.append(_pad_cells(Ad, np_shape))
+
+    # --- centroid-line capacities B[d] --------------------------------------
+    B = []
+    for d in range(N):
+        ccoord = C_cells[d]
+        if N == 1:
+            Bd = (body(ccoord) <= 0.0).astype(dtype) * jnp.where(is_empty, 0.0, 1.0)
+        else:
+            cross_lo = [lo[i] for i in range(N) if i != d]
+            cross_hi = [hi[i] for i in range(N) if i != d]
+
+            def phi_line(*cs, _d=d, _c=ccoord):
+                return body(*_insert(cs, _d, _c))
+
+            Bd, _ = box_integrals(phi_line, cross_lo, cross_hi, p=p, s=s)
+            Bd = jnp.where(is_empty, 0.0, Bd)
+        B.append(_pad_cells(jnp.broadcast_to(Bd, n), np_shape))
+
+    # --- staggered volumes W[d] ---------------------------------------------
+    W = []
+    for d in range(N):
+        if n[d] < 2:
+            W.append(jnp.zeros(np_shape, dtype))
+            continue
+        sl_lo = [slice(None)] * N
+        sl_hi = [slice(None)] * N
+        sl_lo[d] = slice(0, n[d] - 1)
+        sl_hi[d] = slice(1, n[d])
+        st_lo = [
+            (C_cells[d][tuple(sl_lo)] if i == d else jnp.broadcast_to(lo[i], n)[tuple(sl_lo)])
+            for i in range(N)
+        ]
+        st_hi = [
+            (C_cells[d][tuple(sl_hi)] if i == d else jnp.broadcast_to(hi[i], n)[tuple(sl_hi)])
+            for i in range(N)
+        ]
+        Wd, _ = box_integrals(body, st_lo, st_hi, p=p, s=s)
+        # faces 1..n_d-1 hold values; faces 0 and n_d stay zero (reference
+        # convention, src/capacity.jl:394-430)
+        pad = [(0, 0)] * N
+        pad[d] = (1, 0)
+        Wd = jnp.pad(Wd, pad)
+        W.append(_pad_cells(Wd, np_shape))
+
+    # --- interface measure Gamma (divergence identity) -----------------------
+    S2 = jnp.zeros(n, dtype)
+    for d in range(N):
+        sl0 = [slice(0, n[i]) for i in range(N)]
+        sl1 = [slice(0, n[i]) for i in range(N)]
+        sl1[d] = slice(1, n[d] + 1)
+        Ad = A[d]
+        Sd = Ad[tuple(sl0)] - Ad[tuple(sl1)]
+        S2 = S2 + Sd * Sd
+    Gamma_cells = jnp.where(is_cut, jnp.sqrt(S2), 0.0)
+
+    # --- interface centroids: closest-point projection of cell centers ------
+    if compute_centroids:
+        ctr = box_center
+        phi0 = body(*ctr)
+        grads = []
+        for d in range(N):
+            delta = 1e-4 * mesh.h[d]
+            cp = [ctr[i] + (delta if i == d else 0.0) for i in range(N)]
+            cm = [ctr[i] - (delta if i == d else 0.0) for i in range(N)]
+            grads.append((body(*cp) - body(*cm)) / (2.0 * delta))
+        g2 = sum(g * g for g in grads)
+        g2 = jnp.maximum(g2, 1e-300)
+        C_ga_cells = [
+            jnp.where(is_cut, ctr[d] - phi0 * grads[d] / g2, 0.0) for d in range(N)
+        ]
+    else:
+        C_ga_cells = [jnp.zeros(n, dtype) for _ in range(N)]
+
+    V = _pad_cells(V_cells, np_shape)
+    Gamma = _pad_cells(Gamma_cells, np_shape)
+    cell_types = _pad_cells(cell_types, np_shape)
+    C_om = jnp.stack(
+        [_pad_cells(jnp.broadcast_to(C_cells[d], n), np_shape) for d in range(N)], axis=-1
+    )
+    C_ga = jnp.stack([_pad_cells(C_ga_cells[d], np_shape) for d in range(N)], axis=-1)
+
+    return Capacity(
+        A=tuple(A),
+        B=tuple(B),
+        V=V,
+        W=tuple(W),
+        C_om=C_om,
+        C_ga=C_ga,
+        Gamma=Gamma,
+        cell_types=cell_types,
+        mesh=mesh,
+        body=body,
+    )
