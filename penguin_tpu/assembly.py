@@ -255,6 +255,57 @@ def _theta(scheme):
     return 0.5 if scheme == "CN" else 1.0
 
 
+def _diag_GtWG(ops):
+    """diag(Gᵀ Wꜝ G): per cell j, Σ_d B_d[j]² (Wꜝ_d[j] + Wꜝ_d[j+1]),
+    zero at the padding slot (no Dm row there)."""
+    out = 0.0
+    for d in range(len(ops.B)):
+        t = ops.B[d] ** 2 * (ops.Wdag[d] + _shift_p(ops.Wdag[d], d))
+        out = out + _zlast(t, d)
+    return out
+
+
+def _diag_HtWH(ops):
+    out = 0.0
+    for d in range(len(ops.A)):
+        h0 = ops.A[d] - ops.B[d]
+        h1 = _shift_p(ops.A[d], d) - ops.B[d]
+        t = h0 ** 2 * ops.Wdag[d] + h1 ** 2 * _shift_p(ops.Wdag[d], d)
+        out = out + _zlast(t, d)
+    return out
+
+
+def mono_diag_fn(ops, Id, Gamma, ia, ib, dt=None, scheme="BE", border=None,
+                 masks=None):
+    """Diagonal of the mono system (for Jacobi preconditioning)."""
+    steady = dt is None
+    th = _theta(scheme)
+    dG = _diag_GtWG(ops)
+    dH = _diag_HtWH(ops)
+    if steady:
+        bulk = Id * dG
+        ifc = ib * dH + ia * Gamma
+    elif scheme == "CN":
+        bulk = ops.V + dt * th * Id * dG
+        ifc = dt * th * (ib * dH + ia * Gamma)
+    else:
+        bulk = ops.V + dt * Id * dG
+        ifc = ib * dH + ia * Gamma
+    if masks is not None:
+        bulk = jnp.where(masks[0], bulk, 1.0)
+        ifc = jnp.where(masks[1], ifc, 1.0)
+    if border is not None:
+        for key, cond, axis, side, mask in border.items:
+            if isinstance(cond, (Dirichlet, GibbsThomson, Periodic)):
+                bulk = jnp.where(mask, 1.0, bulk)
+            elif isinstance(cond, Neumann):
+                bulk = jnp.where(mask, 1.0 / border.mesh.h[axis], bulk)
+    # guard against exact zeros on kept-but-degenerate rows
+    bulk = jnp.where(bulk == 0.0, 1.0, bulk)
+    ifc = jnp.where(ifc == 0.0, 1.0, ifc)
+    return (bulk, ifc)
+
+
 def mono_apply_fn(ops, Id, Gamma, ia, ib, dt=None, scheme="BE", border=None,
                   masks=None):
     """Matrix-free A(x) for the mono scalar system

@@ -118,7 +118,6 @@ def box_integrals(phi, lo, hi, p: int = 8, s: int = 2):
     M = len(lo)
     lo = [jnp.asarray(a) for a in lo]
     hi = [jnp.asarray(b) for b in hi]
-    batch = jnp.broadcast_shapes(*[a.shape for a in lo + hi])
     dlast = hi[-1] - lo[-1]
 
     if M == 1:
@@ -128,6 +127,13 @@ def box_integrals(phi, lo, hi, p: int = 8, s: int = 2):
         vol = dlast * frac
         mom = dlast * (a * frac + dlast * tmom)
         return vol, [mom]
+
+    # batch shape must include broadcasting introduced by phi itself (e.g.
+    # a fixed face coordinate with its own axis) — probe once at midpoints
+    probe = phi(*[0.5 * (lo[d] + hi[d]) for d in range(M)])
+    batch = jnp.broadcast_shapes(
+        probe.shape, *[a.shape for a in lo + hi]
+    )
 
     # outer tensor-product GL nodes over axes 0..M-2
     nodes, weights = gl_rule(p, s)

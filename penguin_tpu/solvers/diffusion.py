@@ -27,6 +27,7 @@ from ..assembly import (
     diph_masks,
     diph_rhs_fn,
     mono_apply_fn,
+    mono_diag_fn,
     mono_rhs_fn,
     scalar_masks,
 )
@@ -93,10 +94,19 @@ class DiffusionSteadyMono(_ScalarSolverBase):
                                    masks=masks)
         self._rhs = mono_rhs_fn(ops, Id, cap.Gamma, ia, ib, cap, phase.source,
                                 bc_i, border=border, masks=masks)
+        self._diag = mono_diag_fn(ops, Id, cap.Gamma, ia, ib, border=border,
+                                  masks=masks)
 
-    def solve(self, method="auto", **kw):
+    def solve(self, method="auto", precondition=True, **kw):
         b = self._rhs()
-        self.x = solve_linear(self.apply, b, method=method, **kw)
+        M = None
+        if precondition and method in ("cg", "bicgstab", "gmres"):
+            dinv = jax.tree_util.tree_map(lambda d: 1.0 / d, self._diag)
+
+            def M(r):
+                return jax.tree_util.tree_map(lambda a, b_: a * b_, r, dinv)
+
+        self.x = solve_linear(self.apply, b, method=method, M=M, **kw)
         self.states = [self.x]
         return self.x
 
