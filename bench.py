@@ -1,0 +1,63 @@
+"""North-star benchmark: 1024^2 unsteady cut-cell heat (BE, embedded circle)
+ms/step on one TPU chip.  Target from BASELINE.md: < 10 ms/step.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+``vs_baseline`` = value / 10.0 (fraction of the target budget; < 1 beats it).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu.solvers.heat_fast import FastHeatBE
+
+    nx = ny = 1024
+    lx = ly = 4.0
+    mesh = pt.Mesh((nx, ny), (lx, ly), (0.0, 0.0))
+    body = pt.geometry.circle((2.0, 2.0), 1.0)
+    t0 = time.time()
+    cap = pt.compute_capacity(body, mesh, p=4, s=1, dtype=jnp.float32)
+    cap.V.block_until_ready()
+    t_cap = time.time() - t0
+
+    ops = pt.make_diffusion_ops(cap)
+    bc_b = pt.BorderConditions(
+        {k: pt.Dirichlet(0.0) for k in ("left", "right", "top", "bottom")}
+    )
+    dt = 0.25 * (lx / nx) ** 2
+    fast = FastHeatBE(cap, ops, 1.0, lambda x, y, z, t: 0.0, pt.Dirichlet(1.0),
+                      bc_b, dt, cg_tol=1e-5, cg_maxiter=24, dtype=jnp.float32)
+
+    T = jnp.zeros(mesh.np_shape, jnp.float32)
+    # warmup (compile + first steps)
+    T = fast.run(T, 5)
+    T.block_until_ready()
+
+    n_steps = 100
+    t0 = time.time()
+    T = fast.run(T, n_steps)
+    T.block_until_ready()
+    ms = (time.time() - t0) / n_steps * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "2d_heat_1024sq_BE_ms_per_step",
+                "value": round(ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(ms / 10.0, 4),
+            }
+        )
+    )
+    print(f"# capacity build: {t_cap:.2f}s; device={jax.devices()[0]}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,7 +125,7 @@ def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
     full_vol = 1.0
     for d in range(N):
         full_vol = full_vol * (hi[d] - lo[d])
-    eps = 1e-10
+    eps = 1e-10 if jnp.dtype(dtype).itemsize >= 8 else 2e-5
     is_empty = V_cells <= eps * full_vol
     is_full = V_cells >= (1.0 - eps) * full_vol
     is_cut = (~is_empty) & (~is_full)

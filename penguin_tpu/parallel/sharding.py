@@ -1,0 +1,107 @@
+"""Multi-chip domain decomposition.
+
+The reference is single-process (SURVEY.md §2: no Distributed/MPI/threads);
+the TPU-native scaling story is grid domain decomposition over a
+``jax.sharding.Mesh``: shard the padded DOF arrays over ('x','y') device
+axes and let XLA's SPMD partitioner turn the ±1-shift stencils into ICI
+halo exchanges (``ppermute``) and the Krylov dot products into ``psum``
+collectives.  No communication is hand-written — the operators in
+``operators.py`` are ordinary shifted-array expressions, which is exactly
+the form GSPMD partitions optimally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_grid_mesh", "grid_sharding", "shard_pytree", "dryrun_heat_multichip"]
+
+
+def _factor2(n):
+    a = int(np.floor(np.sqrt(n)))
+    while n % a:
+        a -= 1
+    return max(a, 1), n // max(a, 1)
+
+
+def make_grid_mesh(n_devices=None, devices=None):
+    """2D device mesh with axes ('x', 'y') for domain decomposition."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    a, b = _factor2(len(devices))
+    dev = np.asarray(devices).reshape(a, b)
+    return Mesh(dev, axis_names=("x", "y"))
+
+
+def grid_sharding(mesh, ndim=2):
+    """NamedSharding placing grid axis 0 on 'x' and axis 1 on 'y'; higher
+    axes replicated."""
+    spec = [None] * ndim
+    spec[0] = "x"
+    if ndim >= 2:
+        spec[1] = "y"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_pytree(tree, sharding):
+    """device_put every array leaf of a pytree with the given sharding
+    (leaves whose rank differs get a replicated-compatible spec)."""
+
+    def put(leaf):
+        try:
+            nd = leaf.ndim
+        except AttributeError:
+            return leaf
+        if nd >= 2:
+            return jax.device_put(leaf, sharding)
+        return jax.device_put(
+            leaf, NamedSharding(sharding.mesh, P(*([None] * nd)))
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def dryrun_heat_multichip(n_devices, grid=(64, 64)):
+    """Build the flagship 2D cut-cell heat step, shard every field over an
+    ('x','y') device mesh, and execute ONE implicit step (rhs + CG solve)
+    SPMD.  Exercises the full multi-chip code path: halo exchange for the
+    shift stencils, psum for the CG dot products."""
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu.solvers.heat_fast import FastHeatBE
+
+    dev_mesh = make_grid_mesh(n_devices)
+    nx, ny = grid
+    mesh = pt.Mesh((nx, ny), (4.0, 4.0), (0.0, 0.0))
+    body = pt.geometry.circle((2.0, 2.0), 1.0)
+    cap = pt.compute_capacity(body, mesh, p=4, s=1, dtype=jnp.float32)
+    ops = pt.make_diffusion_ops(cap)
+    bc = pt.Dirichlet(1.0)
+    bc0 = pt.Dirichlet(0.0)
+    bc_b = pt.BorderConditions(
+        {"left": bc0, "right": bc0, "top": bc0, "bottom": bc0}
+    )
+    dt = 0.25 * (4.0 / nx) ** 2
+
+    sharding = grid_sharding(dev_mesh)
+    cap = shard_pytree(cap, sharding)
+    ops = pt.make_diffusion_ops(cap)
+
+    fast = FastHeatBE(cap, ops, 1.0, lambda x, y, z, t: 0.0, bc, bc_b, dt,
+                      cg_tol=1e-5, cg_maxiter=16, dtype=jnp.float32)
+
+    T0 = jax.device_put(jnp.zeros(mesh.np_shape, jnp.float32), sharding)
+    step = jax.jit(fast.step, in_shardings=sharding,
+                   out_shardings=(sharding, None))
+    T1, iters = step(T0)
+    T1.block_until_ready()
+    # sanity: the sharded step must agree with the unsharded one
+    T1_ref, _ = fast.step(jax.device_put(jnp.zeros(mesh.np_shape, jnp.float32)))
+    err = float(jnp.abs(T1 - T1_ref).max())
+    assert err < 1e-5, f"sharded vs single-device mismatch: {err}"
+    return T1

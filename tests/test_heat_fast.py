@@ -1,0 +1,41 @@
+"""FastHeatBE (the benchmark stepper) must reproduce the general masked
+block solver exactly: same operators, same masks, interface unknowns
+eliminated analytically."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers import DiffusionUnsteadyMono
+from penguin_tpu.solvers.heat_fast import FastHeatBE
+
+
+def test_fast_heat_matches_general():
+    nx = ny = 32
+    lx = ly = 4.0
+    mesh = pt.Mesh((nx, ny), (lx, ly), (0.0, 0.0))
+    body = pt.geometry.circle((2.01, 2.01), 1.0)
+    cap = pt.compute_capacity(body, mesh)
+    ops = pt.make_diffusion_ops(cap)
+    bc = pt.Dirichlet(1.0)
+    bc0 = pt.Dirichlet(0.0)
+    bc_b = pt.BorderConditions(
+        {"left": bc0, "right": bc0, "top": bc0, "bottom": bc0}
+    )
+    f = lambda x, y, z, t: 0.0
+    phase = pt.Phase(cap, ops, f, 1.0)
+    dt = 0.25 * (lx / nx) ** 2
+    t_end = 6.5 * dt  # initial solve + ceil(6.5)=7 steps = 8 BE applications
+
+    z = jnp.zeros(mesh.np_shape)
+    solver = DiffusionUnsteadyMono(phase, bc_b, bc, dt, (z, z), "BE")
+    solver.solve(t_end, method="direct")
+
+    fast = FastHeatBE(cap, ops, 1.0, f, bc, bc_b, dt,
+                      cg_tol=1e-13, cg_maxiter=500)
+    Tf = fast.run(z, 8)
+
+    ref = np.asarray(solver.x_omega)
+    got = np.asarray(Tf)
+    active = np.asarray(fast.active)
+    assert np.abs(got[active] - ref[active]).max() < 1e-9
