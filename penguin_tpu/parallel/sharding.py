@@ -65,7 +65,7 @@ def shard_pytree(tree, sharding):
     return jax.tree_util.tree_map(put, tree)
 
 
-def dryrun_heat_multichip(n_devices, grid=(64, 64)):
+def dryrun_heat_multichip(n_devices, grid=(63, 63)):
     """Build the flagship 2D cut-cell heat step, shard every field over an
     ('x','y') device mesh, and execute ONE implicit step (rhs + CG solve)
     SPMD.  Exercises the full multi-chip code path: halo exchange for the
@@ -77,6 +77,11 @@ def dryrun_heat_multichip(n_devices, grid=(64, 64)):
 
     dev_mesh = make_grid_mesh(n_devices)
     nx, ny = grid
+    # DOF arrays have shape (n+1, n+1); NamedSharding requires divisibility
+    ax, ay = dev_mesh.devices.shape
+    assert (nx + 1) % ax == 0 and (ny + 1) % ay == 0, (
+        "choose grid with n+1 divisible by the device mesh"
+    )
     mesh = pt.Mesh((nx, ny), (4.0, 4.0), (0.0, 0.0))
     body = pt.geometry.circle((2.0, 2.0), 1.0)
     cap = pt.compute_capacity(body, mesh, p=4, s=1, dtype=jnp.float32)
