@@ -231,7 +231,21 @@ def _col_H_nz(ops):
     return out
 
 
-def scalar_masks(ops, Gamma, ia, ib, steady):
+def _conv_nz(ops):
+    """Row/col activity contributed by the convection operator C_d =
+    Dp·diag(Sm(A_d u_d))·Sm: nonzero where the face-velocity-capacity
+    product is nonzero at face j or j+1."""
+    from .operators import sm
+
+    out = None
+    for d in range(len(ops.A)):
+        au = sm(ops.A[d] * ops.u_face[d], d, ops._per(d))
+        nz = _zlast(jnp.asarray((au != 0) | (_shift_p(au, d) != 0), jnp.float32), d) > 0
+        out = nz if out is None else (out | nz)
+    return out
+
+
+def scalar_masks(ops, Gamma, ia, ib, steady, conv=None):
     """(bulk_active, iface_active) for one phase's 2-block scalar system."""
     colG = _col_G_nz(ops)
     colH = _col_H_nz(ops)
@@ -239,6 +253,8 @@ def scalar_masks(ops, Gamma, ia, ib, steady):
         bulk = colG
     else:
         bulk = (ops.V != 0.0) | colG
+    if conv is not None:
+        bulk = bulk | _conv_nz(conv)
     ia_nz = jnp.asarray(ia != 0.0) if not np.isscalar(ia) else ia != 0.0
     ib_nz = jnp.asarray(ib != 0.0) if not np.isscalar(ib) else ib != 0.0
     g_nz = Gamma != 0.0
@@ -307,26 +323,33 @@ def mono_diag_fn(ops, Id, Gamma, ia, ib, dt=None, scheme="BE", border=None,
 
 
 def mono_apply_fn(ops, Id, Gamma, ia, ib, dt=None, scheme="BE", border=None,
-                  masks=None):
+                  masks=None, conv=None):
     """Matrix-free A(x) for the mono scalar system
     (A_mono_stead_diff / A_mono_unstead_diff, src/solver/diffusion.jl:30-43,
-    212-241), including identity-masked inactive DOFs and border surgery."""
+    212-241; advection terms per A_mono_*_advdiff,
+    src/solver/advectiondiffusion.jl:28-44,180-213), including
+    identity-masked inactive DOFs and border surgery."""
     steady = dt is None
     th = _theta(scheme)
+
+    def conv_terms(TW, TG):
+        # ΣC TW + ½ΣK TW  in bulk-bulk, ½ΣK TG in bulk-iface
+        return conv.conv(TW) + 0.5 * conv.kconv(TW) + 0.5 * conv.kconv(TG)
 
     def apply(x):
         TW, TG = x
         q = ops.flux(TW, TG)
         gt = Id * ops.GT(q)
         ht = ops.HT(q)
+        cv = conv_terms(TW, TG) if conv is not None else 0.0
         if steady:
-            bulk = gt
+            bulk = gt + cv
             ifc = ib * ht + ia * Gamma * TG
         elif scheme == "CN":
-            bulk = ops.V * TW + dt * th * gt
+            bulk = ops.V * TW + dt * th * (gt + cv)
             ifc = dt * th * (ib * ht + ia * Gamma * TG)
         else:
-            bulk = ops.V * TW + dt * gt
+            bulk = ops.V * TW + dt * (gt + cv)
             ifc = ib * ht + ia * Gamma * TG
         if masks is not None:
             bulk = jnp.where(masks[0], bulk, TW)
@@ -339,8 +362,9 @@ def mono_apply_fn(ops, Id, Gamma, ia, ib, dt=None, scheme="BE", border=None,
 
 
 def mono_rhs_fn(ops, Id, Gamma, ia, ib, capacity, f, bc_i, dt=None,
-                scheme="BE", border=None, masks=None):
-    """b(x_prev, t) for the mono scalar system (b_mono_*_diff)."""
+                scheme="BE", border=None, masks=None, conv=None):
+    """b(x_prev, t) for the mono scalar system (b_mono_*_diff /
+    b_mono_unstead_advdiff)."""
     steady = dt is None
 
     def rhs(x_prev=None, t=None):
@@ -357,7 +381,14 @@ def mono_rhs_fn(ops, Id, Gamma, ia, ib, capacity, f, bc_i, dt=None,
                 gn = gamma_value_vector(bc_i, capacity, t)
                 gn1 = gamma_value_vector(bc_i, capacity, t + dt)
                 q = ops.flux(TW, TG)
-                b1 = ops.V * TW - 0.5 * dt * Id * ops.GT(q) + 0.5 * dt * ops.V * (fn + fn1)
+                cv = (
+                    conv.conv(TW) + 0.5 * conv.kconv(TW) + 0.5 * conv.kconv(TG)
+                ) if conv is not None else 0.0
+                b1 = (
+                    ops.V * TW
+                    - 0.5 * dt * (Id * ops.GT(q) + cv)
+                    + 0.5 * dt * ops.V * (fn + fn1)
+                )
                 b2 = (
                     0.5 * dt * Gamma * (gn + gn1)
                     - 0.5 * dt * ib * ops.HT(q)
@@ -382,7 +413,8 @@ def mono_rhs_fn(ops, Id, Gamma, ia, ib, capacity, f, bc_i, dt=None,
 # diphasic scalar diffusion operator / rhs
 # ---------------------------------------------------------------------------
 
-def diph_masks(ops1, ops2, G1, G2, a1, a2, b1c, b2c, steady):
+def diph_masks(ops1, ops2, G1, G2, a1, a2, b1c, b2c, steady, conv1=None,
+               conv2=None):
     colG1, colH1 = _col_G_nz(ops1), _col_H_nz(ops1)
     colG2, colH2 = _col_G_nz(ops2), _col_H_nz(ops2)
     if steady:
@@ -390,6 +422,10 @@ def diph_masks(ops1, ops2, G1, G2, a1, a2, b1c, b2c, steady):
     else:
         bulk1 = (ops1.V != 0.0) | colG1
         bulk2 = (ops2.V != 0.0) | colG2
+    if conv1 is not None:
+        bulk1 = bulk1 | _conv_nz(conv1)
+    if conv2 is not None:
+        bulk2 = bulk2 | _conv_nz(conv2)
     a1_nz, a2_nz = a1 != 0.0, a2 != 0.0
     b1_nz, b2_nz = b1c != 0.0, b2c != 0.0
     ones = jnp.ones_like(G1, dtype=bool)
@@ -403,15 +439,22 @@ def diph_masks(ops1, ops2, G1, G2, a1, a2, b1c, b2c, steady):
 
 
 def diph_apply_fn(ops1, ops2, Id1, Id2, ic, dt=None, scheme="BE",
-                  border1=None, border2=None, masks=None):
+                  border1=None, border2=None, masks=None, conv1=None,
+                  conv2=None):
     """4-block diphasic operator (A_diph_*_diff,
-    src/solver/diffusion.jl:104-144, 334-389).  Unknowns
-    (TW1, TG1, TW2, TG2); rows: phase-1 bulk, scalar-jump, phase-2 bulk,
-    flux-jump."""
+    src/solver/diffusion.jl:104-144, 334-389; advective terms per
+    A_diph_*_advdiff, src/solver/advectiondiffusion.jl:97-124,313-354).
+    Unknowns (TW1, TG1, TW2, TG2); rows: phase-1 bulk, scalar-jump,
+    phase-2 bulk, flux-jump."""
     steady = dt is None
     a1, a2 = ic.scalar.alpha1, ic.scalar.alpha2
     be1, be2 = ic.flux.beta1, ic.flux.beta2
     th = _theta(scheme)
+
+    def cvb(conv, TW, TG):
+        if conv is None:
+            return 0.0, 0.0
+        return (conv.conv(TW) + 0.5 * conv.kconv(TW), 0.5 * conv.kconv(TG))
 
     def apply(x):
         TW1, TG1, TW2, TG2 = x
@@ -419,13 +462,15 @@ def diph_apply_fn(ops1, ops2, Id1, Id2, ic, dt=None, scheme="BE",
         q2 = ops2.flux(TW2, TG2)
         gt1 = Id1 * ops1.GT(q1)
         gt2 = Id2 * ops2.GT(q2)
+        cw1, cg1 = cvb(conv1, TW1, TG1)
+        cw2, cg2 = cvb(conv2, TW2, TG2)
         if steady:
-            r1 = gt1
-            r3 = gt2
+            r1 = gt1 + cw1 + cg1
+            r3 = gt2 + cw2 + cg2
         else:
             c = dt * th
-            r1 = ops1.V * TW1 + c * gt1
-            r3 = ops2.V * TW2 + c * gt2
+            r1 = ops1.V * TW1 + c * (gt1 + cw1 + cg1)
+            r3 = ops2.V * TW2 + c * (gt2 + cw2 + cg2)
         r2 = a1 * TG1 - a2 * TG2
         r4 = be1 * ops1.HT(q1) + be2 * ops2.HT(q2)
         if masks is not None:
@@ -443,7 +488,11 @@ def diph_apply_fn(ops1, ops2, Id1, Id2, ic, dt=None, scheme="BE",
 
 
 def diph_rhs_fn(ops1, ops2, Id1, Id2, cap1, cap2, f1, f2, ic, dt=None,
-                scheme="BE", border1=None, border2=None, masks=None):
+                scheme="BE", border1=None, border2=None, masks=None,
+                conv1=None, conv2=None, advdiff_cn=False):
+    """``advdiff_cn``: the reference's advdiff CN rhs subtracts only the
+    convective part of the old state (src/solver/advectiondiffusion.jl:
+    371-375), unlike the diffusion CN rhs which subtracts diffusion."""
     steady = dt is None
     G2 = cap2.Gamma
 
@@ -458,14 +507,22 @@ def diph_rhs_fn(ops1, ops2, Id1, Id2, cap1, cap2, f1, f2, ic, dt=None,
         else:
             TW1, TG1, TW2, TG2 = x_prev
             if scheme == "CN":
-                q1 = ops1.flux(TW1, TG1)
-                q2 = ops2.flux(TW2, TG2)
                 f1n = source_vector(f1, cap1, t)
                 f1n1 = source_vector(f1, cap1, t + dt)
                 f2n = source_vector(f2, cap2, t)
                 f2n1 = source_vector(f2, cap2, t + dt)
-                b1 = ops1.V * TW1 - 0.5 * dt * Id1 * ops1.GT(q1) + 0.5 * dt * ops1.V * (f1n + f1n1)
-                b3 = ops2.V * TW2 - 0.5 * dt * Id2 * ops2.GT(q2) + 0.5 * dt * ops2.V * (f2n + f2n1)
+                if advdiff_cn:
+                    cw1 = conv1.conv(TW1) + 0.5 * conv1.kconv(TW1) if conv1 is not None else 0.0
+                    cg1 = 0.5 * conv1.kconv(TG1) if conv1 is not None else 0.0
+                    cw2 = conv2.conv(TW2) + 0.5 * conv2.kconv(TW2) if conv2 is not None else 0.0
+                    cg2 = 0.5 * conv2.kconv(TG2) if conv2 is not None else 0.0
+                    b1 = ops1.V * TW1 - 0.5 * dt * (cw1 + cg1) + 0.5 * dt * ops1.V * (f1n + f1n1)
+                    b3 = ops2.V * TW2 - 0.5 * dt * (cw2 + cg2) + 0.5 * dt * ops2.V * (f2n + f2n1)
+                else:
+                    q1 = ops1.flux(TW1, TG1)
+                    q2 = ops2.flux(TW2, TG2)
+                    b1 = ops1.V * TW1 - 0.5 * dt * Id1 * ops1.GT(q1) + 0.5 * dt * ops1.V * (f1n + f1n1)
+                    b3 = ops2.V * TW2 - 0.5 * dt * Id2 * ops2.GT(q2) + 0.5 * dt * ops2.V * (f2n + f2n1)
             else:
                 f1n1 = source_vector(f1, cap1, t + dt if t is not None else None)
                 f2n1 = source_vector(f2, cap2, t + dt if t is not None else None)
