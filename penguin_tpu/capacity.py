@@ -72,17 +72,25 @@ class Capacity:
         return self.V.shape
 
 
-def _cell_bounds(mesh, dtype):
-    """Per-dim broadcastable lower/upper cell bounds over the cell grid."""
-    N = mesh.ndim
+def _cell_bounds_from_nodes(nodes_list, n, dtype):
+    """Per-dim broadcastable lower/upper cell bounds over the cell grid.
+    ``nodes_list`` entries may be traced jnp arrays (e.g. a moving time
+    slab), enabling per-step geometry rebuilds inside jit/scan."""
+    N = len(nodes_list)
     lo, hi = [], []
     for d in range(N):
         shp = [1] * N
-        shp[d] = mesh.n[d]
-        nodes = np.asarray(mesh.nodes[d], dtype=dtype)
-        lo.append(jnp.asarray(nodes[:-1].reshape(shp)))
-        hi.append(jnp.asarray(nodes[1:].reshape(shp)))
+        shp[d] = n[d]
+        nodes = jnp.asarray(nodes_list[d], dtype=dtype)
+        lo.append(nodes[:-1].reshape(shp))
+        hi.append(nodes[1:].reshape(shp))
     return lo, hi
+
+
+def _cell_bounds(mesh, dtype):
+    return _cell_bounds_from_nodes(
+        [np.asarray(v) for v in mesh.nodes], mesh.n, dtype
+    )
 
 
 def _pad_cells(arr, np_shape):
@@ -112,16 +120,52 @@ def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
                                  compute_centroids)
 
 
+def compute_capacity_spacetime(body, space_mesh, t0, t1, p: int = 8,
+                               s: int = 2, dtype=None,
+                               compute_centroids: bool = True) -> Capacity:
+    """Space-time capacities on the slab [t0, t1] with *traced* time bounds:
+    the geometry rebuild that the reference performs per step on the host
+    (src/prescribedmotionsolver/diffusion.jl:248-256) runs here as part of
+    the jitted time step — t0/t1 may be scan-carried scalars.
+
+    ``body`` takes (x..., t)."""
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    dtype = jnp.dtype(dtype)
+    t01 = jnp.stack([jnp.asarray(t0, dtype), jnp.asarray(t1, dtype)])
+    return _compute_capacity_st_jit(body, space_mesh, p, s, dtype.name,
+                                    compute_centroids, t01)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _compute_capacity_st_jit(body, space_mesh, p, s, dtype_name,
+                             compute_centroids, t01):
+    dtype = jnp.dtype(dtype_name)
+    nodes = [np.asarray(v, dtype) for v in space_mesh.nodes] + [t01]
+    n = space_mesh.n + (1,)
+    return _capacity_impl(body, nodes, n, dtype, p, s, compute_centroids,
+                          mesh_ref=None, spacetime=True)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
     dtype = jnp.dtype(dtype_name)
-    N = mesh.ndim
-    n = mesh.n
-    np_shape = mesh.np_shape
-    lo, hi = _cell_bounds(mesh, dtype)
+    nodes = [np.asarray(v, dtype) for v in mesh.nodes]
+    return _capacity_impl(body, nodes, mesh.n, dtype, p, s,
+                          compute_centroids, mesh_ref=mesh)
+
+
+def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
+                   mesh_ref, spacetime=False):
+    N = len(n)
+    np_shape = tuple(nd + 1 for nd in n)
+    lo, hi = _cell_bounds_from_nodes(nodes_list, n, dtype)
+    # For space-time slabs the interface crossing lives in space, so the
+    # closed-form axis of the full-box integrals is the last *spatial* axis.
+    vol_inner = N - 2 if (spacetime and N >= 2) else None
 
     # --- volumes + centroids -------------------------------------------------
-    V_cells, moms = box_integrals(body, lo, hi, p=p, s=s)
+    V_cells, moms = box_integrals(body, lo, hi, p=p, s=s, inner_axis=vol_inner)
     full_vol = 1.0
     for d in range(N):
         full_vol = full_vol * (hi[d] - lo[d])
@@ -143,7 +187,7 @@ def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
     for d in range(N):
         shp = [1] * N
         shp[d] = n[d] + 1
-        fco = jnp.asarray(np.asarray(mesh.nodes[d], dtype=dtype).reshape(shp))
+        fco = jnp.asarray(nodes_list[d], dtype).reshape(shp)
         if N == 1:
             Ad = (body(fco) <= 0.0).astype(dtype)
         else:
@@ -192,7 +236,8 @@ def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
             (C_cells[d][tuple(sl_hi)] if i == d else jnp.broadcast_to(hi[i], n)[tuple(sl_hi)])
             for i in range(N)
         ]
-        Wd, _ = box_integrals(body, st_lo, st_hi, p=p, s=s)
+        Wd, _ = box_integrals(body, st_lo, st_hi, p=p, s=s,
+                              inner_axis=vol_inner)
         # faces 1..n_d-1 hold values; faces 0 and n_d stay zero (reference
         # convention, src/capacity.jl:394-430)
         pad = [(0, 0)] * N
@@ -217,7 +262,7 @@ def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
         phi0 = body(*ctr)
         grads = []
         for d in range(N):
-            delta = 1e-4 * mesh.h[d]
+            delta = 1e-4 * (hi[d] - lo[d])
             cp = [ctr[i] + (delta if i == d else 0.0) for i in range(N)]
             cm = [ctr[i] - (delta if i == d else 0.0) for i in range(N)]
             grads.append((body(*cp) - body(*cm)) / (2.0 * delta))
@@ -246,6 +291,6 @@ def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
         C_ga=C_ga,
         Gamma=Gamma,
         cell_types=cell_types,
-        mesh=mesh,
+        mesh=mesh_ref,
         body=body,
     )

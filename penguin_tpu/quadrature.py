@@ -101,7 +101,7 @@ def segment_fraction(pa, pm, pb):
     return frac, tmom
 
 
-def box_integrals(phi, lo, hi, p: int = 8, s: int = 2):
+def box_integrals(phi, lo, hi, p: int = 8, s: int = 2, inner_axis=None):
     """Volume and first moments of {phi < 0} over axis-aligned boxes.
 
     Parameters
@@ -109,6 +109,11 @@ def box_integrals(phi, lo, hi, p: int = 8, s: int = 2):
     phi : callable of M coordinate arrays -> SDF values (broadcasting)
     lo, hi : sequences of M arrays with a common batch shape B (bounds per box)
     p, s : Gauss-Legendre points per panel / number of panels for outer axes
+    inner_axis : which axis gets the exact closed-form crossing treatment
+        (default: last).  Pick the axis the interface most likely crosses —
+        e.g. a spatial axis for space-time slabs of a moving body — so the
+        root-finding absorbs the kink and the outer GL sees a smooth
+        integrand.
 
     Returns
     -------
@@ -116,6 +121,17 @@ def box_integrals(phi, lo, hi, p: int = 8, s: int = 2):
     moments : list of M arrays (B)  —  ∫ x_d 1{phi<0} dV
     """
     M = len(lo)
+    if inner_axis is not None and inner_axis != M - 1:
+        perm = [d for d in range(M) if d != inner_axis] + [inner_axis]
+        inv = [perm.index(d) for d in range(M)]
+
+        def phi_perm(*cs):
+            return phi(*[cs[inv[d]] for d in range(M)])
+
+        vol, moms = box_integrals(
+            phi_perm, [lo[d] for d in perm], [hi[d] for d in perm], p=p, s=s
+        )
+        return vol, [moms[perm.index(d)] for d in range(M)]
     lo = [jnp.asarray(a) for a in lo]
     hi = [jnp.asarray(b) for b in hi]
     dlast = hi[-1] - lo[-1]

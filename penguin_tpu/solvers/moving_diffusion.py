@@ -1,0 +1,335 @@
+"""Prescribed-motion (moving interface) diffusion solvers.
+
+Re-design of ``/root/reference/src/prescribedmotionsolver/diffusion.jl``:
+each step integrates over the space-time slab [t, t+dt].  The slab's cut-
+cell capacities are recomputed **on device inside the jitted scan step**
+(the reference rebuilds VOFI capacities on the host every step,
+diffusion.jl:248-256) — shapes are static, only the slab bounds are traced.
+
+Discrete system per slab (A_mono_unstead_diff_moving, diffusion.jl:100-160):
+with Va = spatial volume at slab start (capacity.A[time][first half]),
+Vb = at slab end, and fresh/dead cell weights Ψ⁺/Ψ⁻ (psip/psim,
+diffusion.jl:58-98):
+
+  [ Va + Id GᵀWꜝG Ψ⁺ ,  -(Va-Vb) + Id GᵀWꜝH Ψ⁺ ] [Tω]   [ Vb Tωⁿ + V f ]
+  [ Iᵦ HᵀWꜝG         ,  Iᵦ HᵀWꜝH + Iₐ Γ       ] [Tγ] = [ Γ g          ]
+
+where G/H/Wꜝ/Γ/V are the *spatial* (time-slot-0) blocks of the space-time
+operators; the dt factors live inside the space-time capacities.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..assembly import border_info, build_I_bc, eval_condition_value
+from ..boundary import GibbsThomson
+from ..capacity import compute_capacity_spacetime
+from ..operators import DiffusionOps, make_wdag
+from .diffusion import _ScalarSolverBase
+
+__all__ = [
+    "MovingDiffusionUnsteadyMono",
+    "MovingDiffusionUnsteadyDiph",
+    "slice_spacetime",
+    "psi_weights",
+]
+
+
+def slice_spacetime(cap_st):
+    """Split a space-time capacity into its spatial time-slot-0 operator
+    data + the start/end volumes (reference slicing, diffusion.jl:112-151)."""
+    N = cap_st.ndim - 1
+    sel = (..., 0)
+    A_sp = tuple(cap_st.A[d][sel] for d in range(N))
+    B_sp = tuple(cap_st.B[d][sel] for d in range(N))
+    W_sp = tuple(cap_st.W[d][sel] for d in range(N))
+    V0 = cap_st.V[sel]
+    Gamma0 = cap_st.Gamma[sel]
+    Va = cap_st.A[N][..., 0]  # spatial volumes at slab start
+    Vb = cap_st.A[N][..., 1]  # at slab end
+    C_sp = cap_st.C_om[..., 0, :N]
+    Cg_sp = cap_st.C_ga[..., 0, :N]
+    ops = DiffusionOps(A=A_sp, B=B_sp, V=V0, Wdag=make_wdag(W_sp))
+    return ops, Va, Vb, Gamma0, C_sp, Cg_sp
+
+
+def psi_weights(scheme, Vb, Va):
+    """Ψ⁺ (matrix side) and Ψ⁻ (rhs side) fresh/dead-cell weights,
+    matching psip_cn/psim_cn/psip_be/psim_be exactly (args order (Vn, Vn_1)
+    = (slab-end, slab-start) as at diffusion.jl:121,184)."""
+    nzb, nza = Vb != 0, Va != 0
+    if scheme == "CN":
+        psip = jnp.where(
+            ~nzb & ~nza, 0.0,
+            jnp.where(nzb & nza, 0.5, jnp.where(~nzb & nza, 0.5, 1.0)),
+        )
+        psim = jnp.where(nzb & nza, 0.5, jnp.where(~nzb & nza, 0.5, 0.0))
+    else:
+        psip = jnp.where(nzb | nza, 1.0, 0.0)
+        psim = jnp.zeros_like(Vb)
+    return psip, psim
+
+
+def _eval_f(f, C_sp, t):
+    """Source at spatial centroid components + explicit time (the reference
+    feeds the slab-time centroid through a spatial slot; we pass spatial
+    coords + t, which is what its examples' f(x,y,z,t) signatures intend)."""
+    coords = [C_sp[..., d] for d in range(C_sp.shape[-1])]
+    return eval_condition_value(f, coords, t)
+
+
+def _eval_g(bc_i, Cg_sp, like, t=None):
+    if isinstance(bc_i, GibbsThomson):
+        g = bc_i.Tm * jnp.ones_like(like)
+        if bc_i.v_gamma is not None:
+            g = g - bc_i.eps_v * bc_i.v_gamma
+        return g
+    coords = [Cg_sp[..., d] for d in range(Cg_sp.shape[-1])]
+    return eval_condition_value(bc_i.value, coords, t)
+
+
+def _eval_D(D, C_sp):
+    if callable(D):
+        coords = [C_sp[..., d] for d in range(C_sp.shape[-1])]
+        return eval_condition_value(D, coords)
+    return D
+
+
+def _direct_solve(apply_fn, b):
+    """Dense materialization + LU inside jit (zero rows/cols fixed
+    numerically — the per-slab analogue of remove_zero_rows_cols!)."""
+    flat, unravel = ravel_pytree(b)
+    n = flat.size
+
+    def fa(v):
+        return ravel_pytree(apply_fn(unravel(v)))[0]
+
+    A = jax.vmap(fa)(jnp.eye(n, dtype=flat.dtype)).T
+    row_nz = jnp.abs(A).sum(axis=1) > 1e-14
+    col_nz = jnp.abs(A).sum(axis=0) > 1e-14
+    keep = row_nz & col_nz
+    d = keep.astype(A.dtype)
+    A = A * d[:, None] * d[None, :] + jnp.diag(1.0 - d)
+    x = jnp.linalg.solve(A, jnp.where(keep, flat, 0.0))
+    return unravel(x)
+
+
+def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme):
+    """Returns (apply, rhs) closures for one slab."""
+    ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap_st)
+    psip, psim = psi_weights(scheme, Vb, Va)
+    ia, ib = build_I_bc(bc_i)
+    Id = _eval_D(D, C_sp)
+    dV = Va - Vb
+
+    def apply(x):
+        TW, TG = x
+        q = ops.flux(psip * TW, psip * TG)
+        r1 = Va * TW + Id * ops.GT(q) - dV * TG
+        q2 = ops.flux(TW, TG)
+        r2 = ib * ops.HT(q2) + ia * Gamma0 * TG
+        if border is not None:
+            r1 = border.matvec(r1, TW)
+        return (r1, r2)
+
+    def rhs(x_prev):
+        TW, TG = x_prev
+        gg = _eval_g(bc_i, Cg_sp, Gamma0, t)
+        if scheme == "CN":
+            fn = _eval_f(f, C_sp, t)
+            fn1 = _eval_f(f, C_sp, t + dt)
+            qm = ops.flux(psim * TW, jnp.zeros_like(TG))
+            hterm = ops.flux(jnp.zeros_like(TW), TG)
+            b1 = (
+                Vb * TW
+                - Id * ops.GT(qm)
+                - 0.5 * Id * ops.GT(hterm)
+                + 0.5 * ops.V * (fn + fn1)
+            )
+        else:
+            fn1 = _eval_f(f, C_sp, t + dt)
+            b1 = Vb * TW + ops.V * fn1
+        b2 = Gamma0 * gg
+        if border is not None:
+            b1 = border.rhs(b1, t)
+        return (b1, b2)
+
+    return apply, rhs
+
+
+def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
+                             border2, t, dt, scheme):
+    """(apply, rhs) for the diphasic slab system
+    (A_diph_unstead_diff_moving, diffusion.jl:292-501)."""
+    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
+    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
+    p1p, p1m = psi_weights(scheme, Vb1, Va1)
+    p2p, p2m = psi_weights(scheme, Vb2, Va2)
+    a1, a2 = ic.scalar.alpha1, ic.scalar.alpha2
+    be1, be2 = ic.flux.beta1, ic.flux.beta2
+    Id1 = _eval_D(D1, C1)
+    Id2 = _eval_D(D2, C2)
+    dV1, dV2 = Va1 - Vb1, Va2 - Vb2
+
+    def apply(x):
+        TW1, TG1, TW2, TG2 = x
+        q1 = ops1.flux(p1p * TW1, p1p * TG1)
+        q2 = ops2.flux(p2p * TW2, p2p * TG2)
+        r1 = Va1 * TW1 + Id1 * ops1.GT(q1) - dV1 * TG1
+        r3 = Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2
+        r2 = a1 * TG1 - a2 * TG2
+        r4 = (
+            be1 * ops1.HT(q1)
+            - dV1 * TG1
+            + be2 * ops2.HT(q2)
+            - dV2 * TG2
+        )
+        if border1 is not None:
+            r1 = border1.matvec(r1, TW1)
+        if border2 is not None:
+            r3 = border2.matvec(r3, TW2)
+        return (r1, r2, r3, r4)
+
+    def rhs(x_prev):
+        TW1, TG1, TW2, TG2 = x_prev
+        gg = eval_condition_value(
+            ic.scalar.value, [Cg1[..., d] for d in range(Cg1.shape[-1])], t
+        ) if callable(ic.scalar.value) else ic.scalar.value * jnp.ones_like(Vb1)
+        hh = eval_condition_value(
+            ic.flux.value, [Cg2[..., d] for d in range(Cg2.shape[-1])], t
+        ) if callable(ic.flux.value) else ic.flux.value * jnp.ones_like(Vb2)
+        cf = 0.5 if scheme == "CN" else 1.0
+
+        def bulk(ops, Vb, Id, pm, TW, TG, f, V0, C):
+            qm = ops.flux(pm * TW, pm * TG)
+            fn = _eval_f(f, C, t)
+            fn1 = _eval_f(f, C, t + dt)
+            if scheme == "CN":
+                src = 0.5 * V0 * (fn + fn1)
+            else:
+                src = V0 * fn1
+            return Vb * TW - Id * ops.GT(qm) + src
+
+        b1 = bulk(ops1, Vb1, Id1, p1m, TW1, TG1, f1, ops1.V, C1)
+        b3 = bulk(ops2, Vb2, Id2, p2m, TW2, TG2, f2, ops2.V, C2)
+        b2 = gg
+        b4 = G2 * hh
+        if border1 is not None:
+            b1 = border1.rhs(b1, t)
+        if border2 is not None:
+            b3 = border2.rhs(b3, t)
+        return (b1, b2, b3, b4)
+
+    return apply, rhs
+
+
+class MovingDiffusionUnsteadyMono(_ScalarSolverBase):
+    """Prescribed-motion mono diffusion (MovingDiffusionUnsteadyMono,
+    diffusion.jl:15-268)."""
+
+    def __init__(self, phase, bc_b, bc_i, dt, u0, mesh, scheme="BE"):
+        self.phase = phase
+        self.bc_b = bc_b
+        self.bc_i = bc_i
+        self.dt = float(dt)
+        self.u0 = u0
+        self.mesh = mesh
+        self.scheme = scheme
+        self.border = border_info(mesh, bc_b)
+
+    def solve(self, body_st, t_start, t_end, method="direct", p=6, s=1,
+              keep_states=False):
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        D, f = self.phase.diffusion, self.phase.source
+        bc_i, border, mesh, scheme = self.bc_i, self.border, self.mesh, self.scheme
+
+        def step(x, t):
+            cap_st = compute_capacity_spacetime(body_st, mesh, t, t + dt, p=p, s=s)
+            apply_fn, rhs_fn = build_moving_mono_system(
+                cap_st, D, f, bc_i, border, t, dt, scheme
+            )
+            b = rhs_fn(x)
+            if method == "direct":
+                return _direct_solve(apply_fn, b)
+            from jax.scipy.sparse.linalg import bicgstab
+
+            xn, _ = bicgstab(apply_fn, b, x0=x, tol=1e-10, maxiter=2000)
+            return xn
+
+        @jax.jit
+        def run(u0):
+            def body(x, k):
+                t = t_start + k * dt
+                xn = step(x, t)
+                return xn, xn if keep_states else None
+
+            return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
+
+        xf, hist = run(self.u0)
+        self.x = xf
+        if keep_states and hist is not None:
+            self.states = [tuple(h[k] for h in hist) for k in range(K + 1)]
+        else:
+            self.states = [xf]
+        # final capacity for convergence checks
+        tK = t_start + K * dt
+        self.capacity_final = compute_capacity_spacetime(
+            body_st, self.mesh, tK, tK + dt, p=p, s=s
+        )
+        return self.x
+
+
+class MovingDiffusionUnsteadyDiph(_ScalarSolverBase):
+    """Prescribed-motion diphasic diffusion (diffusion.jl:272-501)."""
+
+    def __init__(self, phase1, phase2, bc_b, ic, dt, u0, mesh, scheme="BE"):
+        self.phase1, self.phase2 = phase1, phase2
+        self.bc_b = bc_b
+        self.ic = ic
+        self.dt = float(dt)
+        self.u0 = u0
+        self.mesh = mesh
+        self.scheme = scheme
+
+    def solve(self, body_st, body_c_st, t_start, t_end, method="direct",
+              p=6, s=1, keep_states=False):
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        mesh, scheme, ic = self.mesh, self.scheme, self.ic
+        D1, f1 = self.phase1.diffusion, self.phase1.source
+        D2, f2 = self.phase2.diffusion, self.phase2.source
+        bc_b = self.bc_b
+
+        def step(x, t):
+            cap1 = compute_capacity_spacetime(body_st, mesh, t, t + dt, p=p, s=s)
+            cap2 = compute_capacity_spacetime(body_c_st, mesh, t, t + dt, p=p, s=s)
+            b1m = border_info(mesh, bc_b, phase_mask=cap1.cell_types[..., 0] != 0)
+            b2m = border_info(mesh, bc_b, phase_mask=cap2.cell_types[..., 0] != 0)
+            apply_fn, rhs_fn = build_moving_diph_system(
+                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, t, dt, scheme
+            )
+            b = rhs_fn(x)
+            if method == "direct":
+                return _direct_solve(apply_fn, b)
+            from jax.scipy.sparse.linalg import bicgstab
+
+            xn, _ = bicgstab(apply_fn, b, x0=x, tol=1e-10, maxiter=3000)
+            return xn
+
+        @jax.jit
+        def run(u0):
+            def body(x, k):
+                t = t_start + k * dt
+                return step(x, t), None
+
+            return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
+
+        xf, _ = run(self.u0)
+        self.x = xf
+        self.states = [xf]
+        return self.x
