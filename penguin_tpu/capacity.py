@@ -122,28 +122,36 @@ def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
 
 def compute_capacity_spacetime(body, space_mesh, t0, t1, p: int = 8,
                                s: int = 2, dtype=None,
-                               compute_centroids: bool = True) -> Capacity:
+                               compute_centroids: bool = True,
+                               params=None) -> Capacity:
     """Space-time capacities on the slab [t0, t1] with *traced* time bounds:
     the geometry rebuild that the reference performs per step on the host
     (src/prescribedmotionsolver/diffusion.jl:248-256) runs here as part of
     the jitted time step — t0/t1 may be scan-carried scalars.
 
-    ``body`` takes (x..., t)."""
+    ``body`` takes (x..., t) — or (x..., t, params) when ``params`` is given;
+    ``params`` may be a traced pytree (e.g. the Newton iterate of a Stefan
+    front position), so the interface can move inside jit without retracing.
+    """
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     dtype = jnp.dtype(dtype)
     t01 = jnp.stack([jnp.asarray(t0, dtype), jnp.asarray(t1, dtype)])
     return _compute_capacity_st_jit(body, space_mesh, p, s, dtype.name,
-                                    compute_centroids, t01)
+                                    compute_centroids, t01, params)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _compute_capacity_st_jit(body, space_mesh, p, s, dtype_name,
-                             compute_centroids, t01):
+                             compute_centroids, t01, params):
     dtype = jnp.dtype(dtype_name)
     nodes = [np.asarray(v, dtype) for v in space_mesh.nodes] + [t01]
     n = space_mesh.n + (1,)
-    return _capacity_impl(body, nodes, n, dtype, p, s, compute_centroids,
+    if params is not None:
+        wrapped = lambda *cs: body(*cs, params)
+    else:
+        wrapped = body
+    return _capacity_impl(wrapped, nodes, n, dtype, p, s, compute_centroids,
                           mesh_ref=None, spacetime=True)
 
 

@@ -1,0 +1,61 @@
+"""1D one-phase Stefan problem vs the analytic similarity solution
+s(t) = 2λ√(kt)  (benchmark/Stefan_1d_1ph.jl:17-70)."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.special import erf
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.stefan1d import (
+    MovingLiquidDiffusionUnsteadyMono,
+    find_lambda_stefan,
+    stefan_interface_position,
+)
+
+
+def test_stefan_1d_front_tracks_analytic():
+    T0, k = 1.0, 1.0
+    St = 1.0
+    rhoL = 1.0 / St
+    lam = find_lambda_stefan(St)
+
+    nx, lx = 64, 2.0
+    mesh = pt.Mesh((nx,), (lx,), (0.0,))
+    dt = 1e-3
+    t_start, t_end = 0.05, 0.1
+    xf0 = stefan_interface_position(t_start, k, lam)
+
+    def T_analytic(x, t):
+        return T0 - T0 / erf(lam) * erf(x / (2 * np.sqrt(k * t)))
+
+    C = np.asarray(mesh.nodes[0])  # placeholder; use centroids below
+    cap0 = pt.compute_capacity(pt.geometry.halfspace(0, xf0), mesh)
+    Cc = np.asarray(cap0.C_om[..., 0])
+    Tw0 = jnp.asarray(np.maximum(T_analytic(Cc, t_start), 0.0))
+    Tg0 = jnp.zeros(mesh.np_shape)
+
+    ops0 = pt.make_diffusion_ops(cap0)
+    bc_interface = pt.Dirichlet(0.0)  # melting temperature
+    bc_b = pt.BorderConditions(
+        {"bottom": pt.Dirichlet(T0), "top": pt.Dirichlet(0.0)}
+    )
+    phase = pt.Phase(cap0, ops0, lambda x, y, z, t: 0.0, k)
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, rhoL))
+
+    solver = MovingLiquidDiffusionUnsteadyMono(
+        phase, bc_b, bc_interface, dt, (Tw0, Tg0), mesh, "BE"
+    )
+    solver.solve(xf0, t_start, t_end, ic,
+                 newton_params=(200, 1e-10, 1e-10, 1.0), p=6, s=1)
+
+    n_solves = len(solver.xf_log)
+    t_eff = t_start + n_solves * dt
+    s_exact = stefan_interface_position(t_eff, k, lam)
+    err = abs(solver.xf - s_exact)
+    # front must move forward and track the similarity solution
+    assert solver.xf > xf0 + 0.01
+    assert np.all(np.diff(solver.xf_log) > -1e-10)
+    assert err < 0.02, (solver.xf, s_exact)
+    # Newton converged everywhere
+    assert solver.newton_errs.max() < 1e-8
