@@ -262,7 +262,9 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
         Ad = A[d]
         Sd = Ad[tuple(sl0)] - Ad[tuple(sl1)]
         S2 = S2 + Sd * Sd
-    Gamma_cells = jnp.where(is_cut, jnp.sqrt(S2), 0.0)
+    Gamma_cells = jnp.where(
+        is_cut, jnp.sqrt(jnp.where(is_cut, S2, 1.0)), 0.0
+    )
 
     # --- interface centroids: closest-point projection of cell centers ------
     if compute_centroids:

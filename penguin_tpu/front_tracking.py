@@ -1,0 +1,240 @@
+"""Marker-based front tracking in fixed-shape JAX.
+
+TPU-native re-design of ``/root/reference/src/front_tracking.jl`` (2752 LoC
+built on LibGEOS polygon clipping): here the interface is a closed polyline
+of ``n_markers`` points stored as a (n, 2) array, and every geometric query
+is a batched fixed-shape computation:
+
+- ``sdf``: signed distance to the polyline (point-segment distances + ray-
+  crossing parity for the sign), vectorized over arbitrary query batches —
+  replaces LibGEOS ``LineString`` distance + ``Polygon`` containment
+  (front_tracking.jl:325-340).
+- normals by averaged segment tangents (front_tracking.jl:347-630).
+- shape generators (circle/rectangle/ellipse/crystal,
+  front_tracking.jl:91-271).
+- polygon area / centroid by the shoelace formula.
+- cut-cell capacities and the volume Jacobian come from the *capacity
+  quadrature* applied to the SDF with the marker array as a traced
+  parameter — the volume Jacobian ∂V_cell/∂(marker normal displacement) is
+  exact autodiff through the quadrature (replacing the reference's central
+  finite differences of clipped polygon areas, front_tracking.jl:635-802).
+
+All functions treat the marker array as a pytree leaf, so fronts can move
+inside jit/scan loops without retracing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "FrontTracker",
+    "markers_circle",
+    "markers_rectangle",
+    "markers_ellipse",
+    "markers_crystal",
+    "polyline_sdf",
+    "polyline_normals",
+    "polygon_area",
+    "polygon_centroid",
+    "interface_length",
+    "smooth_displacements",
+]
+
+
+# ---------------------------------------------------------------------------
+# shape generators (counterclockwise closed polylines, markers exclude the
+# duplicated endpoint; reference front_tracking.jl:91-271)
+# ---------------------------------------------------------------------------
+
+def markers_circle(center, radius, n=64):
+    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    return jnp.asarray(
+        np.stack([center[0] + radius * np.cos(th),
+                  center[1] + radius * np.sin(th)], axis=-1)
+    )
+
+
+def markers_ellipse(center, rx, ry, n=64):
+    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    return jnp.asarray(
+        np.stack([center[0] + rx * np.cos(th),
+                  center[1] + ry * np.sin(th)], axis=-1)
+    )
+
+
+def markers_rectangle(lo, hi, n_per_side=16):
+    xs = np.linspace(lo[0], hi[0], n_per_side, endpoint=False)
+    ys = np.linspace(lo[1], hi[1], n_per_side, endpoint=False)
+    bottom = np.stack([xs, np.full_like(xs, lo[1])], -1)
+    right = np.stack([np.full_like(ys, hi[0]), ys], -1)
+    top = np.stack([xs[::-1], np.full_like(xs, hi[1])], -1)
+    left = np.stack([np.full_like(ys, lo[0]), ys[::-1]], -1)
+    return jnp.asarray(np.concatenate([bottom, right, top, left], axis=0))
+
+
+def markers_crystal(center, radius, n=96, n_lobes=6, amplitude=0.2):
+    """Perturbed circle r(θ) = R (1 + a cos(kθ)) (front_tracking.jl crystal
+    generator)."""
+    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    r = radius * (1.0 + amplitude * np.cos(n_lobes * th))
+    return jnp.asarray(
+        np.stack([center[0] + r * np.cos(th), center[1] + r * np.sin(th)], -1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# geometric kernels
+# ---------------------------------------------------------------------------
+
+def _segments(markers):
+    return markers, jnp.roll(markers, -1, axis=0)
+
+
+def polyline_sdf(markers, x, y):
+    """Signed distance from query points to the closed polyline.
+
+    Negative inside (fluid), matching the level-set convention of the
+    reference's ``sdf(front, x, y)``.  Distance part is exact; the sign is
+    by ray-crossing parity.  Batched over the query shape; O(n_markers) per
+    point, fully vectorized.
+    """
+    x, y = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(y))
+    q = jnp.stack([x, y], axis=-1)  # (..., 2)
+    a, b = _segments(markers)  # (n,2)
+    qe = q[..., None, :]  # (...,1,2)
+    ab = b - a
+    ab2 = jnp.sum(ab * ab, axis=-1)
+    t = jnp.sum((qe - a) * ab, axis=-1) / jnp.maximum(ab2, 1e-300)
+    t = jnp.clip(t, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    d2 = jnp.sum((qe - proj) ** 2, axis=-1)
+    d2min = jnp.min(d2, axis=-1)
+    pos = d2min > 1e-300
+    dist = jnp.sqrt(jnp.where(pos, d2min, 1.0)) * jnp.where(pos, 1.0, 0.0)
+
+    # ray casting along +x: count crossings of segments with the horizontal
+    # line through q
+    ya, yb = a[..., 1], b[..., 1]
+    xa, xb = a[..., 0], b[..., 0]
+    qx, qy = q[..., 0:1], q[..., 1:2]
+    cond = (ya <= qy) != (yb <= qy)
+    xint = xa + (qy - ya) / jnp.where(jnp.abs(yb - ya) > 1e-300, yb - ya, 1.0) * (
+        xb - xa
+    )
+    crossing = cond & (qx < xint)
+    inside = jnp.sum(crossing, axis=-1) % 2 == 1
+    return jnp.where(inside, -dist, dist)
+
+
+def polyline_normals(markers):
+    """Outward unit normals at markers: average of adjacent segment normals
+    (reference front_tracking.jl:347-630 averages tangents).  Assumes
+    counterclockwise orientation (fluid inside) -> outward normal of segment
+    (dx,dy) is (dy,-dx)."""
+    prev = markers - jnp.roll(markers, 1, axis=0)
+    nxt = jnp.roll(markers, -1, axis=0) - markers
+    tang = prev / jnp.maximum(jnp.linalg.norm(prev, axis=-1, keepdims=True), 1e-300) \
+        + nxt / jnp.maximum(jnp.linalg.norm(nxt, axis=-1, keepdims=True), 1e-300)
+    nrm = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
+    return nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-300)
+
+
+def polygon_area(markers):
+    a, b = _segments(markers)
+    return 0.5 * jnp.sum(a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1])
+
+
+def polygon_centroid(markers):
+    a, b = _segments(markers)
+    cross = a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]
+    A = 0.5 * jnp.sum(cross)
+    cx = jnp.sum((a[:, 0] + b[:, 0]) * cross) / (6.0 * A)
+    cy = jnp.sum((a[:, 1] + b[:, 1]) * cross) / (6.0 * A)
+    return jnp.stack([cx, cy])
+
+
+def interface_length(markers):
+    a, b = _segments(markers)
+    return jnp.sum(jnp.linalg.norm(b - a, axis=-1))
+
+
+def resample_markers(markers, n_out=None):
+    """Redistribute markers equidistantly along the closed polyline
+    (arclength parameterization).  Keeps marker spacing uniform as the
+    front deforms — the front-tracking stability measure the reference
+    applies via its marker update helpers."""
+    n = markers.shape[0] if n_out is None else n_out
+    a = markers
+    b = jnp.roll(markers, -1, axis=0)
+    seg = jnp.linalg.norm(b - a, axis=-1)
+    cum = jnp.concatenate([jnp.zeros(1, markers.dtype), jnp.cumsum(seg)])
+    total = cum[-1]
+    targets = jnp.arange(n, dtype=markers.dtype) / n * total
+    idx = jnp.clip(jnp.searchsorted(cum, targets, side="right") - 1, 0,
+                   markers.shape[0] - 1)
+    t = (targets - cum[idx]) / jnp.maximum(seg[idx], 1e-300)
+    return a[idx] + t[:, None] * (b[idx] - a[idx])
+
+
+def smooth_displacements(disp, window=3, passes=1):
+    """Circular moving-average smoothing of marker displacements
+    (reference smooth_displacements!, stefan.jl:122-178)."""
+    kernel = jnp.ones(window) / window
+    out = disp
+    for _ in range(passes):
+        padded = jnp.concatenate([out[-(window // 2):], out, out[: window // 2]])
+        out = jnp.convolve(padded, kernel, mode="valid")
+    return out
+
+
+class FrontTracker:
+    """Thin stateful wrapper mirroring the reference API
+    (``FrontTracker``, front_tracking.jl:5-54); the functional kernels above
+    do the work."""
+
+    def __init__(self, markers=None):
+        self.markers = None if markers is None else jnp.asarray(markers)
+
+    # reference-style mutating constructors
+    def create_circle(self, center, radius, n=64):
+        self.markers = markers_circle(center, radius, n)
+        return self
+
+    def create_rectangle(self, lo, hi, n_per_side=16):
+        self.markers = markers_rectangle(lo, hi, n_per_side)
+        return self
+
+    def create_ellipse(self, center, rx, ry, n=64):
+        self.markers = markers_ellipse(center, rx, ry, n)
+        return self
+
+    def create_crystal(self, center, radius, n=96, n_lobes=6, amplitude=0.2):
+        self.markers = markers_crystal(center, radius, n, n_lobes, amplitude)
+        return self
+
+    def sdf(self, x, y):
+        return polyline_sdf(self.markers, x, y)
+
+    def normals(self):
+        return polyline_normals(self.markers)
+
+    def area(self):
+        return float(polygon_area(self.markers))
+
+    def centroid(self):
+        return np.asarray(polygon_centroid(self.markers))
+
+    def length(self):
+        return float(interface_length(self.markers))
+
+    def body(self):
+        """SDF callable for the capacity engine."""
+        m = self.markers
+
+        def b(x, y):
+            return polyline_sdf(m, x, y)
+
+        return b

@@ -63,18 +63,22 @@ def segment_fraction(pa, pm, pb):
     is_quad = jnp.abs(c2) > 1e-12 * scale
     is_lin = jnp.abs(c1) > 1e-12 * scale
 
-    # quadratic roots (stable form)
+    # quadratic roots (stable split form).  Every guarded branch is
+    # sanitized *before* the selecting `where` so reverse-mode AD through
+    # the unselected branch stays finite — the capacity quadrature must be
+    # differentiable wrt geometry parameters (Stefan volume Jacobians).
     disc = c1 * c1 - 4.0 * c2 * c0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    # q = c2 t^2 + c1 t + c0 ; use the classic numerically-stable split
+    disc_ok = disc > 0.0
+    sq = jnp.sqrt(jnp.where(disc_ok, disc, 1.0)) * jnp.where(disc_ok, 1.0, 0.0)
+    # q = c2 t^2 + c1 t + c0
     qq = -0.5 * (c1 + jnp.sign(c1) * sq)
-    qq = jnp.where(jnp.abs(qq) > 0.0, qq, 1e-300)
+    qq = jnp.where(jnp.abs(qq) > 1e-300, qq, 1.0)
     c2_safe = jnp.where(is_quad, c2, 1.0)
     rq1 = qq / c2_safe
     rq2 = c0 / qq
     r_lo_q = jnp.minimum(rq1, rq2)
     r_hi_q = jnp.maximum(rq1, rq2)
-    has_quad_roots = is_quad & (disc > 0.0)
+    has_quad_roots = is_quad & disc_ok
 
     c1_safe = jnp.where(is_lin, c1, 1.0)
     r_lin = -c0 / c1_safe

@@ -1,0 +1,82 @@
+"""Front-tracking geometry kernels (mirrors test/front_tracking_test.jl:
+markers / SDF / normals / area) plus capacity-from-front cross-validation
+against the level-set path (ft_capacity_test.jl pattern)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.front_tracking import (
+    FrontTracker,
+    interface_length,
+    markers_circle,
+    polygon_area,
+    polygon_centroid,
+    polyline_normals,
+    polyline_sdf,
+)
+
+
+def test_circle_markers_geometry():
+    m = markers_circle((1.0, 2.0), 0.5, n=256)
+    assert abs(float(polygon_area(m)) - np.pi * 0.25) < 1e-3
+    c = np.asarray(polygon_centroid(m))
+    np.testing.assert_allclose(c, [1.0, 2.0], atol=1e-12)
+    assert abs(float(interface_length(m)) - np.pi) < 1e-3
+
+
+def test_sdf_circle():
+    m = markers_circle((0.0, 0.0), 1.0, n=512)
+    xs = np.array([0.0, 0.5, 0.99, 1.01, 2.0, -1.5])
+    ys = np.zeros_like(xs)
+    d = np.asarray(polyline_sdf(m, xs, ys))
+    exact = np.abs(np.sqrt(xs**2 + ys**2)) - 1.0
+    np.testing.assert_allclose(d, exact, atol=2e-4)
+
+
+def test_normals_outward():
+    m = markers_circle((0.0, 0.0), 1.0, n=128)
+    n = np.asarray(polyline_normals(m))
+    mm = np.asarray(m)
+    radial = mm / np.linalg.norm(mm, axis=-1, keepdims=True)
+    assert np.abs(n - radial).max() < 1e-3
+
+
+def test_capacity_from_front_matches_levelset():
+    """Capacities from the marker SDF vs the analytic circle SDF
+    (the reference cross-validates front-tracking capacities against VOFI,
+    test/fronttrack/ft_capacity_test.jl)."""
+    mesh = pt.Mesh((24, 24), (4.0, 4.0), (0.0, 0.0))
+    ft = FrontTracker().create_circle((2.0, 2.0), 1.0, n=256)
+    cap_ft = pt.compute_capacity(ft.body(), mesh)
+    cap_ls = pt.compute_capacity(pt.geometry.circle((2.0, 2.0), 1.0), mesh)
+    V1, V2 = np.asarray(cap_ft.V), np.asarray(cap_ls.V)
+    assert abs(V1.sum() - V2.sum()) / V2.sum() < 5e-3
+    assert np.abs(V1 - V2).max() < 0.05 * V2.max()
+    G1, G2 = np.asarray(cap_ft.Gamma), np.asarray(cap_ls.Gamma)
+    assert abs(G1.sum() - G2.sum()) / G2.sum() < 2e-2
+
+
+def test_sdf_traced_markers_jit():
+    """Markers as traced params through the capacity quadrature (the basis
+    of the Stefan front motion inside jit)."""
+    import jax
+
+    mesh = pt.Mesh((16, 16), (4.0, 4.0), (0.0, 0.0))
+
+    def area_of(markers):
+        from penguin_tpu.capacity import compute_capacity_spacetime
+
+        # static-in-time marker body through the space-time path
+        body = lambda x, y, t, mk: polyline_sdf(mk, x, y)
+        cap = compute_capacity_spacetime(body, mesh, 0.0, 1.0, p=4, s=1,
+                                         params=markers)
+        return jnp.sum(cap.V)
+
+    m = markers_circle((2.0, 2.0), 1.0, n=64)
+    a = jax.jit(area_of)(m)
+    assert abs(float(a) - np.pi) < 2e-2
+    # gradient of area wrt marker positions exists and is finite
+    g = jax.grad(area_of)(m)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0

@@ -1,0 +1,74 @@
+"""2D Stefan front tracking vs the Frank-disk similarity solution.
+
+A solid disk grows into undercooled liquid: R(t) = S sqrt(t) with
+T(r, t) = T_inf (1 - F(r/sqrt(t))/F(S)),  F(s) = E1(s^2/4),
+and the undercooling satisfies St = -T_inf = (S^2/4) e^{S^2/4} E1(S^2/4)
+(the 2D analogue of the reference's benchmark/Stefan_1d analytic gates)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.special import exp1
+
+import penguin_tpu as pt
+from penguin_tpu.front_tracking import FrontTracker
+from penguin_tpu.solvers.stefan2d import StefanMono2D
+
+
+@pytest.mark.slow
+def test_frank_disk_growth():
+    S = 1.0
+    St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
+    T_inf = -St
+    rhoL = 1.0
+
+    L = 8.0
+    center = (4.0, 4.0)
+    nx = ny = 32
+    mesh = pt.Mesh((nx, ny), (L, L), (0.0, 0.0))
+    t0, t1 = 1.0, 1.1
+    dt = 0.02
+    R0 = S * np.sqrt(t0)
+
+    def T_analytic(x, y, t):
+        r = np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2)
+        s = r / np.sqrt(t)
+        val = T_inf * (1 - exp1(np.maximum(s**2 / 4, 1e-12)) / exp1(S**2 / 4))
+        return np.where(s >= S, val, 0.0)
+
+    front = FrontTracker().create_circle(center, R0, n=32)
+
+    cap0 = pt.compute_capacity(
+        lambda x, y: -front.sdf(x, y), mesh, p=4, s=1
+    )
+    ops0 = pt.make_diffusion_ops(cap0)
+    C = np.asarray(cap0.C_om)
+    Tw0 = jnp.asarray(T_analytic(C[..., 0], C[..., 1], t0))
+    Tg0 = jnp.zeros(mesh.np_shape)
+
+    # constant far-field undercooling (the analytic field is within ~3% of
+    # T_inf at the border for this domain; jax's exp1 is too slow on CPU to
+    # evaluate per step)
+    bc_b = pt.BorderConditions(
+        {k: pt.Dirichlet(float(T_inf)) for k in ("left", "right", "top", "bottom")}
+    )
+    bc_i = pt.Dirichlet(0.0)  # melting temperature on the front
+    phase = pt.Phase(cap0, ops0, lambda x, y, z, t: 0.0, 1.0)
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, rhoL))
+
+    solver = StefanMono2D(phase, bc_b, bc_i, dt, (Tw0, Tg0), mesh, "BE")
+    solver.solve(front, 0.0, t1 - t0 - dt / 2, ic,
+                 newton_params=(12, 1e-4, 1e-6, 1.0),
+                 interior_fluid=False, method="bicgstab",
+                 p=4, s=1, jac_p=4, jac_s=1)
+
+    mk = np.asarray(solver.markers)
+    radii = np.sqrt((mk[:, 0] - center[0]) ** 2 + (mk[:, 1] - center[1]) ** 2)
+    n_solves = solver.residual_log.shape[0]
+    t_eff = t0 + n_solves * dt
+    R_exact = S * np.sqrt(t_eff)
+    # front grew, stayed round, and tracks the similarity radius
+    assert radii.mean() > R0 + 0.01
+    assert radii.std() / radii.mean() < 0.03
+    assert abs(radii.mean() - R_exact) / R_exact < 0.05, (radii.mean(), R_exact)
