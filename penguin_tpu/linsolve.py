@@ -128,5 +128,13 @@ def solve_linear(apply_fn, b, method="auto", x0=None, tol=1e-10, maxiter=None,
         A, bb = _fix_inactive_dense(A, flat_b)
         x = jnp.linalg.solve(A, bb)
         return unravel(x)
+    if method == "lstsq":
+        # min-norm SVD solve: handles structurally singular saddle points
+        # (orphan pressure modes) the way the reference's Krylov fallback
+        # does (solve_stokes_linear_system!, stokes.jl:1540-1548)
+        A, unravel = materialize_dense(apply_fn, b)
+        A, bb = _fix_inactive_dense(A, flat_b)
+        x, *_ = jnp.linalg.lstsq(A, bb, rcond=1e-12)
+        return unravel(x)
     solver = KrylovSolver(apply_fn, method=method, tol=tol, maxiter=maxiter, M=M)
     return solver.solve(b, x0=x0)

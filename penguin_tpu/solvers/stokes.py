@@ -1,0 +1,379 @@
+"""Monolithic cut-cell Stokes solver (steady + unsteady θ-scheme).
+
+Re-design of ``/root/reference/src/solver/stokes.jl`` (1652 LoC).  Unknowns
+per velocity component live on staggered component meshes (offset −h/2
+along their own axis); the state is the pytree
+``(uω_0, uγ_0, ..., uω_{N-1}, uγ_{N-1}, p)`` on the shared padded grid.
+
+Matrix-free blocks (stokes2D_blocks, stokes.jl:122-178):
+
+- momentum d: ``Iμ_d GᵀWꜝG uω_d + Iμ_d GᵀWꜝH uγ_d  - A^p_d Dm_d(p)``
+  (the pressure-gradient block is ``-(Gp+Hp)`` row-sliced, which collapses
+  to ``-A^p_d ⊙ Dm_d`` since G+H = A·Dm on diagonals; note the reference's
+  sign convention stores p = -p_physical, kept here for parity);
+- tie rows: ``uγ_d = g_cut`` (identity);
+- continuity: ``Σ_d [-DmTd(A^p_d uω_d) + DmTd(A^p_d uγ_d) - B^p_d DmTd(uγ_d)]``;
+- velocity Dirichlet/Symmetry/Outflow/Periodic border surgery on both uω
+  and uγ rows (apply_velocity_dirichlet_2D!, stokes.jl:867-1471) — note
+  Stokes borders use the standard axis naming (left/right = x extremes),
+  unlike the scalar solvers' legacy mapping;
+- pressure gauge: pin one wet DOF or impose volume-weighted zero mean
+  (stokes.jl:1472-1510).
+
+Unsteady θ-scheme: ``(ρV/dt) u' + θ·visc(u') + grad p' = (ρV/dt) u -
+(1-θ)·visc(u) + load`` — the *physical* sign used by the reference's
+Navier-Stokes assembly (navierstokes.jl:540); its Stokes-only unsteady path
+carries a sign slip (stokes.jl:648 uses ``-θ visc``) that we do not copy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..assembly import coefficient_diag, eval_condition_value, _col_G_nz
+from ..boundary import Dirichlet, Neumann, Outflow, Periodic, Symmetry
+from ..linsolve import DenseFactorSolver, solve_linear
+from ..operators import dm, dm_t, _zlast, _shift_p, _shift_m
+
+__all__ = ["StokesMono", "PinPressureGauge", "MeanPressureGauge",
+           "VelocityBorder", "stokes_divergence"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PinPressureGauge:
+    index: object = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MeanPressureGauge:
+    pass
+
+
+_AXIS_KEYS = {
+    "left": (0, 0), "right": (0, 1),
+    "bottom": (1, 0), "top": (1, 1),
+    "backward": (2, 0), "forward": (2, 1),
+}
+_AXIS_KEYS_1D = {"bottom": (0, 0), "top": (0, 1), "left": (0, 0), "right": (0, 1)}
+
+
+class VelocityBorder:
+    """Border surgery for one velocity component (applied to both uω and uγ
+    rows).  ``comp``: which velocity component this mesh carries."""
+
+    def __init__(self, mesh_comp, bc: "BorderConditions", comp: int):
+        self.items = []
+        N = mesh_comp.ndim
+        shape = mesh_comp.np_shape
+        keymap = _AXIS_KEYS_1D if N == 1 else _AXIS_KEYS
+        # node-position arrays over the full padded grid
+        pos = []
+        for d in range(N):
+            c = np.asarray(mesh_comp.nodes[d])
+            shp = [1] * N
+            shp[d] = shape[d]
+            pos.append(jnp.asarray(np.broadcast_to(c.reshape(shp), shape)))
+        self.pos = pos
+        for key, cond in bc.borders:
+            if key not in keymap:
+                continue
+            axis, side = keymap[key]
+            if axis >= N:
+                continue
+            n_real = mesh_comp.n[axis]
+            idx = 0 if side == 0 else n_real - 1
+            mask = np.zeros(shape, dtype=bool)
+            sl = [slice(None)] * N
+            sl[axis] = idx
+            mask[tuple(sl)] = True
+            self.items.append((key, cond, axis, side, comp, jnp.asarray(mask)))
+        self.h = mesh_comp.h
+
+    def matvec(self, yw, yg, uw, ug):
+        for key, cond, axis, side, comp, mask in self.items:
+            if isinstance(cond, Dirichlet):
+                yw = jnp.where(mask, uw, yw)
+                yg = jnp.where(mask, ug, yg)
+            elif isinstance(cond, Symmetry):
+                if comp == axis:  # normal component: u = 0
+                    yw = jnp.where(mask, uw, yw)
+                    yg = jnp.where(mask, ug, yg)
+                else:  # tangential: zero gradient
+                    nb_w = _shift_p(uw, axis) if side == 0 else _shift_m(uw, axis)
+                    nb_g = _shift_p(ug, axis) if side == 0 else _shift_m(ug, axis)
+                    yw = jnp.where(mask, uw - nb_w, yw)
+                    yg = jnp.where(mask, ug - nb_g, yg)
+            elif isinstance(cond, Outflow):
+                nb_w = _shift_p(uw, axis) if side == 0 else _shift_m(uw, axis)
+                nb_g = _shift_p(ug, axis) if side == 0 else _shift_m(ug, axis)
+                yw = jnp.where(mask, uw - nb_w, yw)
+                yg = jnp.where(mask, ug - nb_g, yg)
+            elif isinstance(cond, Neumann):
+                nb_w = _shift_p(uw, axis) if side == 0 else _shift_m(uw, axis)
+                yw = jnp.where(mask, (uw - nb_w) / self.h[axis], yw)
+            elif isinstance(cond, Periodic):
+                n_real = mask.shape[axis] - 1
+                partner = (n_real - 1) if side == 0 else 0
+                slp = [slice(None)] * uw.ndim
+                slp[axis] = slice(partner, partner + 1)
+                yw = jnp.where(mask, uw - uw[tuple(slp)], yw)
+                yg = jnp.where(mask, ug - ug[tuple(slp)], yg)
+        return yw, yg
+
+    def rhs(self, bw, bg, t=None):
+        for key, cond, axis, side, comp, mask in self.items:
+            if isinstance(cond, Dirichlet):
+                val = eval_condition_value(cond.value, self.pos, t)
+                bw = jnp.where(mask, val, bw)
+                bg = jnp.where(mask, val, bg)
+            elif isinstance(cond, Symmetry):
+                bw = jnp.where(mask, 0.0, bw)
+                bg = jnp.where(mask, 0.0, bg)
+            elif isinstance(cond, (Outflow, Periodic)):
+                bw = jnp.where(mask, 0.0, bw)
+                bg = jnp.where(mask, 0.0, bg)
+            elif isinstance(cond, Neumann):
+                val = eval_condition_value(cond.value, self.pos, t)
+                bw = jnp.where(mask, val, bw)
+        return bw, bg
+
+
+def stokes_divergence(fluid, uws, ugs):
+    """Continuity residual Σ_d div_d (matrix-free)."""
+    opp = fluid.operator_p
+    N = len(uws)
+    out = 0.0
+    for d in range(N):
+        Ap = opp.A[d]
+        Bp = opp.B[d]
+        out = out - dm_t(Ap * uws[d], d) + dm_t(Ap * ugs[d], d) - Bp * dm_t(ugs[d], d)
+    return out
+
+
+class StokesMono:
+    """Fully coupled steady/unsteady Stokes."""
+
+    def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None):
+        self.fluid = fluid
+        self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
+        self.gauge = pressure_gauge or PinPressureGauge()
+        self.bc_cut = bc_cut or Dirichlet(0.0)
+        N = fluid.ndim
+        self.N = N
+        self.mu_diag = tuple(
+            coefficient_diag(fluid.mu, fluid.capacity_u[d]) for d in range(N)
+        )
+        self.rho_diag = tuple(
+            coefficient_diag(fluid.rho, fluid.capacity_u[d]) for d in range(N)
+        )
+        self.borders = tuple(
+            VelocityBorder(fluid.mesh_u[d], self.bc_u[d], d) for d in range(N)
+        )
+        # activity masks (zero-row/col elimination): padding and dry DOFs
+        # become identity rows, mirroring remove_zero_rows_cols!
+        self.u_active = tuple(
+            jnp.asarray(
+                _col_G_nz(fluid.operator_u[d]) | (fluid.operator_u[d].V != 0)
+            )
+            for d in range(N)
+        )
+        self.p_active = jnp.asarray(
+            _col_G_nz(fluid.operator_p) | (fluid.operator_p.V != 0)
+        )
+        # pressure gauge bookkeeping (static)
+        Vp = np.asarray(fluid.capacity_p.V)
+        if isinstance(self.gauge, PinPressureGauge):
+            idx = self.gauge.index
+            if idx is None:
+                flatF = Vp.ravel(order="F")  # reference scans x-fastest
+                k = int(np.argmax(flatF > 1e-12)) if (flatF > 1e-12).any() else 0
+                idx = np.unravel_index(k, Vp.shape, order="F")
+            self.pin_idx = tuple(int(v) for v in idx)
+            pin = np.zeros(Vp.shape, bool)
+            pin[self.pin_idx] = True
+            self.pin_mask = jnp.asarray(pin)
+            self.mean_w = None
+        else:
+            w = Vp.copy()
+            if np.allclose(w, 0.0):
+                w[:] = 1.0
+            self.mean_w = jnp.asarray(w / w.sum())
+            self.pin_mask = None
+
+    # ------------------------------------------------------------------
+    def _visc(self, d, uw, ug):
+        ops = self.fluid.operator_u[d]
+        q = ops.flux(uw, ug)
+        return self.mu_diag[d] * ops.GT(q)
+
+    def _grad(self, d, p):
+        Ap = self.fluid.operator_p.A[d]
+        return -(Ap * dm(p, d))
+
+    def _gauge_fix(self, yp, p):
+        if self.pin_mask is not None:
+            return jnp.where(self.pin_mask, p, yp)
+        # mean gauge: replace the first continuity row by the weighted mean
+        flat = jnp.sum(self.mean_w * p)
+        idx0 = (0,) * p.ndim
+        return yp.at[idx0].set(flat)
+
+    def _gauge_rhs(self, bp):
+        if self.pin_mask is not None:
+            return jnp.where(self.pin_mask, 0.0, bp)
+        idx0 = (0,) * bp.ndim
+        return bp.at[idx0].set(0.0)
+
+    def apply_steady(self, x):
+        N = self.N
+        uws = x[0:2 * N:2]
+        ugs = x[1:2 * N:2]
+        p = x[2 * N]
+        out = []
+        for d in range(N):
+            yw = self._visc(d, uws[d], ugs[d]) + self._grad(d, p)
+            yw = jnp.where(self.u_active[d], yw, uws[d])
+            yg = ugs[d]  # tie rows
+            yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
+            out += [yw, yg]
+        yp = stokes_divergence(self.fluid, uws, ugs)
+        yp = jnp.where(self.p_active, yp, p)
+        yp = self._gauge_fix(yp, p)
+        return tuple(out) + (yp,)
+
+    def rhs_steady(self, t=None):
+        N = self.N
+        out = []
+        for d in range(N):
+            cap = self.fluid.capacity_u[d]
+            ops = self.fluid.operator_u[d]
+            C = cap.C_om
+            coords = [C[..., i] for i in range(C.shape[-1])]
+            f = eval_condition_value(self.fluid.f_u, coords, t)
+            bw = ops.V * f
+            Cg = cap.C_ga
+            gco = [Cg[..., i] for i in range(Cg.shape[-1])]
+            bg = eval_condition_value(self.bc_cut.value, gco, t)
+            bw = jnp.where(self.u_active[d], bw, 0.0)
+            bw, bg = self.borders[d].rhs(bw, bg, t)
+            out += [bw, bg]
+        bp = jnp.zeros_like(self.fluid.capacity_p.V)
+        bp = self._gauge_rhs(bp)
+        return tuple(out) + (bp,)
+
+    def make_unsteady_apply(self, dt, theta):
+        N = self.N
+
+        def apply(x):
+            uws = x[0:2 * N:2]
+            ugs = x[1:2 * N:2]
+            p = x[2 * N]
+            out = []
+            for d in range(N):
+                mass = self.rho_diag[d] * self.fluid.operator_u[d].V / dt
+                yw = (
+                    mass * uws[d]
+                    + theta * self._visc(d, uws[d], ugs[d])
+                    + self._grad(d, p)
+                )
+                yw = jnp.where(self.u_active[d], yw, uws[d])
+                yg = ugs[d]
+                yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
+                out += [yw, yg]
+            yp = stokes_divergence(self.fluid, uws, ugs)
+            yp = jnp.where(self.p_active, yp, p)
+            yp = self._gauge_fix(yp, p)
+            return tuple(out) + (yp,)
+
+        return apply
+
+    def make_unsteady_rhs(self, dt, theta):
+        N = self.N
+
+        def rhs(x_prev, t_prev, t_next):
+            out = []
+            for d in range(N):
+                cap = self.fluid.capacity_u[d]
+                ops = self.fluid.operator_u[d]
+                mass = self.rho_diag[d] * ops.V / dt
+                uw_p = x_prev[2 * d]
+                ug_p = x_prev[2 * d + 1]
+                C = cap.C_om
+                coords = [C[..., i] for i in range(C.shape[-1])]
+                f_prev = eval_condition_value(self.fluid.f_u, coords, t_prev)
+                f_next = eval_condition_value(self.fluid.f_u, coords, t_next)
+                load = ops.V * (theta * f_next + (1 - theta) * f_prev)
+                bw = mass * uw_p - (1 - theta) * self._visc(d, uw_p, ug_p) + load
+                bw = jnp.where(self.u_active[d], bw, 0.0)
+                Cg = cap.C_ga
+                gco = [Cg[..., i] for i in range(Cg.shape[-1])]
+                bg = eval_condition_value(self.bc_cut.value, gco, t_next)
+                bw, bg = self.borders[d].rhs(bw, bg, t_next)
+                out += [bw, bg]
+            bp = jnp.zeros_like(self.fluid.capacity_p.V)
+            bp = self._gauge_rhs(bp)
+            return tuple(out) + (bp,)
+
+        return rhs
+
+    # ------------------------------------------------------------------
+    def zero_state(self):
+        N = self.N
+        z = [jnp.zeros_like(self.fluid.operator_u[d].V) for d in range(N)]
+        out = []
+        for d in range(N):
+            out += [z[d], z[d]]
+        return tuple(out) + (jnp.zeros_like(self.fluid.capacity_p.V),)
+
+    def solve(self, method="auto", tol=1e-10, maxiter=None):
+        b = self.rhs_steady()
+        self.x = solve_linear(self.apply_steady, b, method=method, tol=tol,
+                              maxiter=maxiter)
+        return self.x
+
+    def solve_unsteady(self, dt, t_end, scheme="CN", method="auto",
+                       x0=None, tol=1e-10, maxiter=None):
+        theta = 0.5 if scheme in ("CN", "cn") else 1.0
+        apply_fn = self.make_unsteady_apply(dt, theta)
+        rhs_fn = self.make_unsteady_rhs(dt, theta)
+        x = x0 if x0 is not None else self.zero_state()
+        n_steps = int(np.ceil(t_end / dt - 1e-12))
+        nflat = sum(int(np.prod(np.asarray(u.shape))) for u in x)
+        if method == "auto":
+            method = "direct" if nflat <= 12000 else "bicgstab"
+        if method == "direct":
+            factor = DenseFactorSolver(apply_fn, x)
+
+            def step(xc, t):
+                return factor.solve(rhs_fn(xc, t, t + dt))
+        else:
+            from jax.scipy.sparse.linalg import gmres
+
+            def step(xc, t):
+                xs, _ = gmres(apply_fn, rhs_fn(xc, t, t + dt), x0=xc, tol=tol,
+                              maxiter=maxiter or 2000, solve_method="batched")
+                return xs
+
+        @jax.jit
+        def run(x0_):
+            def body(xc, k):
+                xn = step(xc, k * dt)
+                return xn, None
+
+            xf, _ = jax.lax.scan(body, x0_, jnp.arange(n_steps, dtype=jnp.float64))
+            return xf
+
+        self.x = run(x)
+        return self.x
+
+    # views
+    def velocity(self, d, gamma=False):
+        return self.x[2 * d + (1 if gamma else 0)]
+
+    @property
+    def pressure(self):
+        return self.x[2 * self.N]

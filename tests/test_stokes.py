@@ -1,0 +1,130 @@
+"""Stokes solver tests: 1D Poiseuille exactness (stronger than the
+reference's residual-only gate, test/solver/stokes_test.jl:57-62) and a 2D
+lid-driven smoke check."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.stokes import (
+    MeanPressureGauge,
+    PinPressureGauge,
+    StokesMono,
+    stokes_divergence,
+)
+
+
+def _fluid_1d(nx=64, Lx=1.0):
+    mesh_p = pt.Mesh((nx,), (Lx,), (0.0,))
+    dx = Lx / nx
+    mesh_u = pt.Mesh((nx,), (Lx,), (-0.5 * dx,))
+    body = pt.geometry.full_domain(1)
+    cap_u = pt.compute_capacity(body, mesh_u)
+    cap_p = pt.compute_capacity(body, mesh_p)
+    op_u = pt.make_diffusion_ops(cap_u)
+    op_p = pt.make_diffusion_ops(cap_p)
+    fluid = pt.Fluid(
+        mesh_u=(mesh_u,), mesh_p=mesh_p,
+        capacity_u=(cap_u,), operator_u=(op_u,),
+        capacity_p=cap_p, operator_p=op_p,
+        mu=1.0, rho=1.0,
+        f_u=lambda x, y, z: 1.0, f_p=lambda x, y, z: 0.0,
+    )
+    return fluid, mesh_u, mesh_p
+
+
+def test_poiseuille_1d_residual():
+    """1D: the incompressible solution is u ≡ 0 with a pressure ramp
+    balancing the body force; the gate is the discrete residual (the
+    reference's test/solver/stokes_test.jl:57-62 checks only this)."""
+    fluid, mesh_u, mesh_p = _fluid_1d()
+    bc_u = pt.BorderConditions({"bottom": pt.Dirichlet(0.0), "top": pt.Dirichlet(0.0)})
+    solver = StokesMono(fluid, (bc_u,), PinPressureGauge(), pt.Dirichlet(0.0))
+    solver.solve(method="direct")
+    Ax = solver.apply_steady(solver.x)
+    b = solver.rhs_steady()
+    resid = max(float(jnp.abs(a - bb).max()) for a, bb in zip(Ax, b))
+    assert resid <= 1e-10
+    assert np.abs(np.asarray(solver.velocity(0))).max() < 1e-10
+
+
+def test_hydrostatic_balance_2d_exact():
+    """Closed box, constant body force, no-slip walls: u must vanish and
+    the interior pressure gradient balance the force exactly (the enclosed
+    analogue of the Poiseuille residual gate; this cut-cell staggering has
+    wall semantics at domain borders, so through-flow needs Outflow BCs as
+    in the reference)."""
+    n, L = 16, 1.0
+    fluid = _fluid_2d(n=n, L=L)
+    h = L / n
+    noslip = pt.Dirichlet(0.0)
+    fluid.f_u = lambda x, y, z: 1.0
+    bc = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": noslip}
+    )
+    solver = StokesMono(fluid, (bc, bc), MeanPressureGauge(), pt.Dirichlet(0.0))
+    solver.solve(method="lstsq")
+    for d in range(2):
+        assert np.abs(np.asarray(solver.velocity(d))[: n, : n]).max() < 1e-9
+    # interior momentum rows: -h (p_i - p_{i-1}) = h^2 f  ->  dp = -h f
+    p = np.asarray(solver.pressure)
+    dp = p[1: n - 1, 1: n - 1] - p[0: n - 2, 1: n - 1]
+    np.testing.assert_allclose(dp, -h, atol=1e-9)
+    # mean gauge: weighted pressure mean is zero
+    w = np.asarray(solver.mean_w)
+    assert abs((w * p).sum()) < 1e-9
+
+
+def _fluid_2d(n=24, L=1.0):
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    cap_ux = pt.compute_capacity(body, mesh_ux)
+    cap_uy = pt.compute_capacity(body, mesh_uy)
+    cap_p = pt.compute_capacity(body, mesh_p)
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(cap_ux, cap_uy),
+        operator_u=(pt.make_diffusion_ops(cap_ux), pt.make_diffusion_ops(cap_uy)),
+        capacity_p=cap_p, operator_p=pt.make_diffusion_ops(cap_p),
+        mu=1.0, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    return fluid
+
+
+def test_lid_driven_stokes_2d():
+    fluid = _fluid_2d(n=16)
+    lid = pt.Dirichlet(lambda x, y, z: 1.0)
+    noslip = pt.Dirichlet(0.0)
+    bc_ux = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": lid}
+    )
+    bc_uy = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": noslip}
+    )
+    solver = StokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(), pt.Dirichlet(0.0))
+    solver.solve(method="lstsq")
+    ux = np.asarray(solver.velocity(0))
+    uy = np.asarray(solver.velocity(1))
+    n = 16
+    # lid velocity imposed on the top row of real cells
+    assert np.abs(ux[:, n - 1] - 1.0).max() < 1e-9
+    # interior flow develops and stays bounded
+    assert 0.0 < np.abs(ux[:, : n - 1]).max() < 1.0
+    assert 0.0 < np.abs(uy).max() < 1.0
+    # discrete continuity holds away from the gauge row
+    div = np.array(stokes_divergence(
+        fluid,
+        [solver.x[0], solver.x[2]],
+        [solver.x[1], solver.x[3]],
+    ))
+    pin = solver.pin_idx
+    div[pin] = 0.0
+    assert np.abs(div[: n, : n]).max() < 1e-9
+
+
+import jax  # noqa: E402  (used inside test for tree ops)
