@@ -1,0 +1,189 @@
+"""Incompressible Navier-Stokes on the staggered cut-cell Stokes layout.
+
+Re-design of ``/root/reference/src/solver/navierstokes.jl`` (3277 LoC):
+
+- flux-form skew convection per component d (build_convection_matrix,
+  navierstokes.jl:119-137): primary term ``Dp_d(Sm_d(A_d u_d) ⊙ Sm_d(q))``
+  plus cross terms ``Dp_j(Sm_d(A_j u_j) ⊙ Sm_j(q))`` — note the cross flux
+  is averaged along the *primary* axis, as in the reference;
+- interface transfer ``K_d = diag(Sp_d(Hᵀ u_γ^rot))`` with the component-
+  rotated interface stacking (rotated_interfaces, navierstokes.jl:148-166);
+- unsteady θ-scheme with Adams-Bashforth-2 extrapolated explicit convection
+  (assemble_navierstokes2D_unsteady!, navierstokes.jl:632-700):
+  ``rhs -= ρ (1.5 conv^n - 0.5 conv^{n-1})``;
+- steady Picard linearization ``visc + ρ C(u_k) - ρ/2 K(u_k)`` in the
+  momentum diagonal (assemble_navierstokes2D_steady_picard!,
+  navierstokes.jl:1122-1200).
+
+Everything is matrix-free; the unsteady loop jits rhs-build + LU-solve per
+step with the factorization reused across steps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..assembly import eval_condition_value
+from ..linsolve import DenseFactorSolver, materialize_dense, solve_linear
+from ..operators import dp, sm, sp
+from .stokes import StokesMono
+
+__all__ = ["NavierStokesMono"]
+
+
+class NavierStokesMono(StokesMono):
+    # ------------------------------------------------------------------
+    # convection operators (matrix-free)
+    # ------------------------------------------------------------------
+    def conv_bulk(self, d, uw_all, q):
+        """C_d(u) q : flux-form convection of q on component-d's grid."""
+        A = self.fluid.capacity_u[d].A
+        flux_p = sm(A[d] * uw_all[d], d)
+        out = dp(flux_p * sm(q, d), d)
+        for j in range(self.N):
+            if j == d:
+                continue
+            flux_c = sm(A[j] * uw_all[j], d)
+            out = out + dp(flux_c * sm(q, j), j)
+        return out
+
+    def conv_K(self, d, ug_all):
+        """diag weights of K_d (interface transfer)."""
+        faces = tuple(ug_all[(d + a) % self.N] for a in range(self.N))
+        return sp(self.fluid.operator_u[d].HT(faces), d)
+
+    def conv_vectors(self, x):
+        """conv_d = C_d(u) uω_d - K_d(uγ) uω_d (same-state form,
+        compute_convection_vectors!, navierstokes.jl:346-434)."""
+        N = self.N
+        uws = x[0:2 * N:2]
+        ugs = x[1:2 * N:2]
+        out = []
+        for d in range(N):
+            Kw = self.conv_K(d, ugs)
+            out.append(self.conv_bulk(d, uws, uws[d]) - Kw * uws[d])
+        return tuple(out)
+
+    # ------------------------------------------------------------------
+    # unsteady: implicit viscous + AB2 explicit convection
+    # ------------------------------------------------------------------
+    def solve_unsteady(self, dt, t_end, scheme="CN", method="auto", x0=None,
+                       tol=1e-10, maxiter=None):
+        theta = 0.5 if scheme in ("CN", "cn") else 1.0
+        apply_fn = self.make_unsteady_apply(dt, theta)
+        base_rhs = self.make_unsteady_rhs(dt, theta)
+        rho = self.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        N = self.N
+
+        x = x0 if x0 is not None else self.zero_state()
+        n_steps = int(np.ceil(t_end / dt - 1e-12))
+        nflat = sum(int(np.prod(np.asarray(u.shape))) for u in x)
+        if method == "auto":
+            method = "direct" if nflat <= 12000 else "gmres"
+
+        if method == "direct":
+            factor = DenseFactorSolver(apply_fn, x)
+            lin_solve = factor.solve
+        else:
+            from jax.scipy.sparse.linalg import gmres
+
+            def lin_solve(b, x0_=None):
+                xs, _ = gmres(apply_fn, b, x0=x0_, tol=tol,
+                              maxiter=maxiter or 2000, solve_method="batched")
+                return xs
+
+        def full_rhs(xc, conv_c, conv_p, first, t):
+            extra = tuple(
+                -rho_val * jnp.where(first, conv_c[d],
+                                     1.5 * conv_c[d] - 0.5 * conv_p[d])
+                for d in range(N)
+            )
+            return base_rhs(xc, t, t + dt, extra_mom=extra)
+
+        @jax.jit
+        def run(x0_):
+            conv0 = self.conv_vectors(x0_)
+
+            def body(carry, k):
+                xc, conv_p, first = carry
+                t = k * dt
+                conv_c = self.conv_vectors(xc)
+                b = full_rhs(xc, conv_c, conv_p, first, t)
+                xn = lin_solve(b)
+                return (xn, conv_c, jnp.asarray(False)), None
+
+            (xf, _, _), _ = jax.lax.scan(
+                body, (x0_, conv0, jnp.asarray(True)),
+                jnp.arange(n_steps, dtype=jnp.float64),
+            )
+            return xf
+
+        self.x = run(x)
+        return self.x
+
+    # ------------------------------------------------------------------
+    # steady: Picard
+    # ------------------------------------------------------------------
+    def make_picard_apply(self, x_k):
+        """Linearized steady operator at the Picard iterate x_k."""
+        N = self.N
+        uws_k = x_k[0:2 * N:2]
+        ugs_k = x_k[1:2 * N:2]
+        rho = self.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        Kws = [self.conv_K(d, ugs_k) for d in range(N)]
+
+        def apply(x):
+            uws = x[0:2 * N:2]
+            ugs = x[1:2 * N:2]
+            p = x[2 * N]
+            out = []
+            for d in range(N):
+                yw = (
+                    self._visc(d, uws[d], ugs[d])
+                    + self._grad(d, p)
+                    + rho_val * self.conv_bulk(d, uws_k, uws[d])
+                    - 0.5 * rho_val * Kws[d] * uws[d]
+                )
+                yw = jnp.where(self.u_active[d], yw, uws[d])
+                yg = ugs[d]
+                yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
+                out += [yw, yg]
+            from .stokes import stokes_divergence
+
+            yp = stokes_divergence(self.fluid, uws, ugs)
+            yp = jnp.where(self.p_active, yp, p)
+            yp = self._gauge_fix(yp, p)
+            return tuple(out) + (yp,)
+
+        return apply
+
+    def solve_steady(self, max_iter=30, tol=1e-8, relax=1.0, method="lstsq",
+                     x0=None, verbose=False):
+        """Picard iteration (the reference warms up with Picard before
+        Newton, solve_NavierStokesMono_steady!, navierstokes.jl:1768-1812).
+        """
+        x = x0 if x0 is not None else self.zero_state()
+        b = self.rhs_steady()
+        self.residual_history = []
+        for it in range(max_iter):
+            apply_fn = self.make_picard_apply(x)
+            x_new = solve_linear(apply_fn, b, method=method)
+            if relax != 1.0:
+                x_new = jax.tree_util.tree_map(
+                    lambda a, c: relax * a + (1 - relax) * c, x_new, x
+                )
+            diff = max(
+                float(jnp.abs(a - c).max()) for a, c in zip(x_new, x)
+            )
+            self.residual_history.append(diff)
+            x = x_new
+            if verbose:
+                print(f"picard iter {it}: diff={diff:.3e}")
+            if diff < tol:
+                break
+        self.x = x
+        return self.x

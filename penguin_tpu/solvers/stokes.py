@@ -294,7 +294,7 @@ class StokesMono:
     def make_unsteady_rhs(self, dt, theta):
         N = self.N
 
-        def rhs(x_prev, t_prev, t_next):
+        def rhs(x_prev, t_prev, t_next, extra_mom=None):
             out = []
             for d in range(N):
                 cap = self.fluid.capacity_u[d]
@@ -308,6 +308,8 @@ class StokesMono:
                 f_next = eval_condition_value(self.fluid.f_u, coords, t_next)
                 load = ops.V * (theta * f_next + (1 - theta) * f_prev)
                 bw = mass * uw_p - (1 - theta) * self._visc(d, uw_p, ug_p) + load
+                if extra_mom is not None:
+                    bw = bw + extra_mom[d]
                 bw = jnp.where(self.u_active[d], bw, 0.0)
                 Cg = cap.C_ga
                 gco = [Cg[..., i] for i in range(Cg.shape[-1])]

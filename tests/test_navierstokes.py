@@ -1,0 +1,105 @@
+"""Navier-Stokes tests: Taylor-Green vortex decay (the reference's
+convergence benchmark, benchmark/navierstokes/TaylorGreen.jl) and a steady
+Picard lid-driven cavity check against Ghia et al. (1982)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.navierstokes import NavierStokesMono
+from penguin_tpu.solvers.stokes import PinPressureGauge
+
+
+def _tg_fluid(n, L=2 * np.pi, mu=1.0, rho=1.0):
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    cap_ux = pt.compute_capacity(body, mesh_ux, p=4, s=1)
+    cap_uy = pt.compute_capacity(body, mesh_uy, p=4, s=1)
+    cap_p = pt.compute_capacity(body, mesh_p, p=4, s=1)
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(cap_ux, cap_uy),
+        operator_u=(pt.make_diffusion_ops(cap_ux), pt.make_diffusion_ops(cap_uy)),
+        capacity_p=cap_p, operator_p=pt.make_diffusion_ops(cap_p),
+        mu=mu, rho=rho,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    return fluid, (mesh_ux, mesh_uy)
+
+
+def _tg_exact(nu):
+    def u(x, y, t):
+        return -np.cos(x) * np.sin(y) * np.exp(-2 * nu * t)
+
+    def v(x, y, t):
+        return np.sin(x) * np.cos(y) * np.exp(-2 * nu * t)
+
+    return u, v
+
+
+def _tg_error(n, dt=2e-3, t_end=0.05, nu=1.0):
+    fluid, (mesh_ux, mesh_uy) = _tg_fluid(n, mu=nu)
+    ue, ve = _tg_exact(nu)
+
+    bc_ux = pt.BorderConditions({
+        k: pt.Dirichlet(lambda x, y, z, t: jnp.cos(x) * jnp.sin(y) * (-jnp.exp(-2 * nu * t)))
+        for k in ("left", "right", "bottom", "top")
+    })
+    bc_uy = pt.BorderConditions({
+        k: pt.Dirichlet(lambda x, y, z, t: jnp.sin(x) * jnp.cos(y) * jnp.exp(-2 * nu * t))
+        for k in ("left", "right", "bottom", "top")
+    })
+    solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                              pt.Dirichlet(0.0))
+
+    # initial condition sampled at the velocity DOF node positions
+    Xux, Yux = np.meshgrid(np.asarray(mesh_ux.nodes[0]),
+                           np.asarray(mesh_ux.nodes[1]), indexing="ij")
+    Xuy, Yuy = np.meshgrid(np.asarray(mesh_uy.nodes[0]),
+                           np.asarray(mesh_uy.nodes[1]), indexing="ij")
+    uw0 = jnp.asarray(ue(Xux, Yux, 0.0))
+    vw0 = jnp.asarray(ve(Xuy, Yuy, 0.0))
+    x0 = (uw0, uw0, vw0, vw0, jnp.zeros(fluid.capacity_p.V.shape))
+
+    solver.solve_unsteady(dt, t_end, scheme="CN", method="direct", x0=x0)
+    n_steps = int(np.ceil(t_end / dt - 1e-12))
+    t_f = n_steps * dt
+    uxf = np.asarray(solver.velocity(0))
+    err = np.abs(uxf[1:n, 1:n] - ue(Xux, Yux, t_f)[1:n, 1:n]).max()
+    return err
+
+
+@pytest.mark.slow
+def test_taylor_green_accuracy_and_convergence():
+    e16 = _tg_error(16)
+    e32 = _tg_error(32)
+    # errors small and decreasing at a near-2nd-order rate
+    assert e16 < 0.05, e16
+    assert e32 < e16 / 2.5, (e16, e32)
+
+
+@pytest.mark.slow
+def test_lid_cavity_steady_picard_re100():
+    n = 24
+    L = 1.0
+    fluid, _ = _tg_fluid(n, L=L, mu=1.0 / 100.0, rho=1.0)
+    lid = pt.Dirichlet(1.0)
+    noslip = pt.Dirichlet(0.0)
+    bc_ux = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": lid}
+    )
+    bc_uy = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": noslip}
+    )
+    solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                              pt.Dirichlet(0.0))
+    solver.solve_steady(max_iter=40, tol=1e-9, method="lstsq")
+    ux = np.asarray(solver.velocity(0))
+    # vertical centerline profile: Ghia et al. Re=100 min u ~ -0.2109
+    center = ux[n // 2, :n]
+    assert -0.30 < center.min() < -0.12, center.min()
+    assert abs(center[n - 1] - 1.0) < 1e-8
