@@ -1,0 +1,196 @@
+"""Navier-Stokes ↔ scalar (temperature) coupling with Boussinesq buoyancy.
+
+Re-design of ``/root/reference/src/solver/navierstokes_scalar_coupling.jl``:
+
+- ``PassiveCoupling``: advance momentum, then transport the scalar with the
+  new velocity (one-way);
+- ``PicardCoupling``: fixed-point iterations per step — velocity with
+  buoyancy from the scalar iterate, scalar with the new velocity —
+  until both updates drop below tolerance (:10-27);
+- buoyancy force ``-ρ β g_d V_d (T|_vel - T_ref)`` added to momentum rows
+  (:248-259);
+- inter-mesh transfer by nearest-neighbor index maps (the reference builds
+  sparse 0/1 projection matrices, :60-88,120-141; here gather indices).
+
+``MonolithicCoupling`` (full Newton over u, p, T) is not yet ported.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..assembly import (
+    border_info,
+    build_I_bc,
+    coefficient_diag,
+    mono_apply_fn,
+    mono_rhs_fn,
+    scalar_masks,
+)
+from ..linsolve import solve_linear
+from ..operators import make_convection_ops
+
+__all__ = ["PassiveCoupling", "PicardCoupling", "NavierStokesScalarCoupler"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PassiveCoupling:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class PicardCoupling:
+    tol_T: float = 1e-6
+    tol_U: float = 1e-6
+    maxiter: int = 5
+    relaxation: float = 1.0
+
+
+def _nearest_map(src_coords, dst_coords):
+    """Per-axis nearest-neighbor gather indices (uniform shifted grids)."""
+    idx = np.searchsorted(src_coords, dst_coords)
+    idx = np.clip(idx, 1, len(src_coords) - 1)
+    lo = src_coords[idx - 1]
+    hi = src_coords[idx]
+    choose_lo = np.abs(dst_coords - lo) <= np.abs(hi - dst_coords)
+    return np.where(choose_lo, idx - 1, idx)
+
+
+def _grid_map(mesh_src, mesh_dst):
+    """Index arrays mapping a field on mesh_src's DOF grid to mesh_dst's."""
+    maps = []
+    for d in range(mesh_src.ndim):
+        src = np.asarray(mesh_src.nodes[d])  # length = np_shape[d]
+        dst = np.asarray(mesh_dst.nodes[d])
+        maps.append(jnp.asarray(_nearest_map(src, dst)))
+    return maps
+
+
+def _gather2d(field, maps):
+    return field[maps[0][:, None], maps[1][None, :]]
+
+
+class NavierStokesScalarCoupler:
+    def __init__(self, momentum, scalar_capacity, scalar_ops, kappa,
+                 scalar_source, bc_scalar, bc_scalar_cut,
+                 strategy=None, beta=0.0, gravity=(0.0, -1.0), T_ref=0.0,
+                 T0=None, method="lstsq"):
+        self.momentum = momentum
+        self.cap_T = scalar_capacity
+        self.ops_T = scalar_ops
+        self.kappa = kappa
+        self.source_T = scalar_source
+        self.bc_T = bc_scalar
+        self.bc_T_cut = bc_scalar_cut
+        self.strategy = strategy or PassiveCoupling()
+        self.beta = float(beta)
+        self.gravity = tuple(float(g) for g in gravity)
+        self.T_ref = float(T_ref)
+        self.method = method
+
+        z = jnp.zeros(scalar_capacity.V.shape)
+        self.T = T0 if T0 is not None else (z, z)
+        self.x = momentum.zero_state()
+        self.conv_prev = None
+        self.time = 0.0
+        self.states = []
+
+        mesh_T = scalar_capacity.mesh
+        # scalar -> velocity-grid gather maps (buoyancy), velocity -> scalar
+        self._T_to_u = [
+            _grid_map(mesh_T, momentum.fluid.mesh_u[d]) for d in range(2)
+        ]
+        self._u_to_T = [
+            _grid_map(momentum.fluid.mesh_u[d], mesh_T) for d in range(2)
+        ]
+
+    # -- momentum substep with buoyancy from T ---------------------------
+    def _momentum_step(self, dt, theta, Tw, t):
+        mom = self.momentum
+        apply_fn = mom.make_unsteady_apply(dt, theta)
+        rhs_fn = mom.make_unsteady_rhs(dt, theta)
+        rho = mom.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        conv_c = mom.conv_vectors(self.x)
+        extra = []
+        for d in range(2):
+            if self.conv_prev is None:
+                conv = conv_c[d]
+            else:
+                conv = 1.5 * conv_c[d] - 0.5 * self.conv_prev[d]
+            term = -rho_val * conv
+            if self.beta != 0.0 and self.gravity[d] != 0.0:
+                T_on_u = _gather2d(Tw, self._T_to_u[d])
+                Vd = mom.fluid.operator_u[d].V
+                term = term - rho_val * self.beta * self.gravity[d] * Vd * (
+                    T_on_u - self.T_ref
+                )
+            extra.append(term)
+        b = rhs_fn(self.x, t, t + dt, extra_mom=tuple(extra))
+        x_new = solve_linear(apply_fn, b, method=self.method)
+        return x_new, conv_c
+
+    # -- scalar substep with velocity from momentum ----------------------
+    def _scalar_step(self, dt, scheme, x_vel, t):
+        cap, ops = self.cap_T, self.ops_T
+        u_onT = tuple(
+            _gather2d(x_vel[2 * d], self._u_to_T[d]) for d in range(2)
+        )
+        ug_onT = tuple(
+            _gather2d(x_vel[2 * d + 1], self._u_to_T[d]) for d in range(2)
+        )
+        conv = make_convection_ops(cap, u_onT, ug_onT)
+        ia, ib = build_I_bc(self.bc_T_cut)
+        Id = coefficient_diag(self.kappa, cap)
+        masks = scalar_masks(conv, cap.Gamma, ia, ib, steady=False, conv=conv)
+        border = border_info(cap.mesh, self.bc_T)
+        apply_fn = mono_apply_fn(conv, Id, cap.Gamma, ia, ib, dt=dt,
+                                 scheme=scheme, border=border, masks=masks,
+                                 conv=conv)
+        rhs_fn = mono_rhs_fn(conv, Id, cap.Gamma, ia, ib, cap, self.source_T,
+                             self.bc_T_cut, dt=dt, scheme=scheme,
+                             border=border, masks=masks, conv=conv)
+        b = rhs_fn(self.T, t)
+        return solve_linear(apply_fn, b, method=self.method)
+
+    def step(self, dt, scheme="BE"):
+        theta = 0.5 if scheme == "CN" else 1.0
+        t = self.time
+        if isinstance(self.strategy, PicardCoupling):
+            st = self.strategy
+            x_it, T_it = self.x, self.T
+            conv_c = None
+            for _ in range(st.maxiter):
+                x_new, conv_c = self._momentum_step(dt, theta, T_it[0], t)
+                T_new = self._scalar_step(dt, scheme, x_new, t)
+                if st.relaxation != 1.0:
+                    T_new = tuple(
+                        st.relaxation * a + (1 - st.relaxation) * b_
+                        for a, b_ in zip(T_new, T_it)
+                    )
+                dT = float(jnp.abs(T_new[0] - T_it[0]).max())
+                dU = max(
+                    float(jnp.abs(a - b_).max()) for a, b_ in zip(x_new, x_it)
+                )
+                x_it, T_it = x_new, T_new
+                if dT < st.tol_T and dU < st.tol_U:
+                    break
+            self.x, self.T = x_it, T_it
+            self.conv_prev = conv_c
+        else:  # passive
+            x_new, conv_c = self._momentum_step(dt, theta, self.T[0], t)
+            self.T = self._scalar_step(dt, scheme, x_new, t)
+            self.x = x_new
+            self.conv_prev = conv_c
+        self.time += dt
+        self.states.append((self.time, self.x, self.T))
+        return self.x, self.T
+
+    def run(self, dt, t_end, scheme="BE"):
+        while self.time < t_end - 1e-12:
+            self.step(dt, scheme)
+        return self.x, self.T
