@@ -227,6 +227,135 @@ def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
     return apply, rhs
 
 
+def psi_conv_weights(Vb, Va):
+    """Fresh/dead convection weights (psip_conv/psim_conv,
+    prescribedmotionsolver/advectiondiffusion.jl:35-61): implicit convection
+    only on fresh cells, explicit on alive/dead cells."""
+    nzb, nza = Vb != 0, Va != 0
+    psip = jnp.where(~nzb & nza, 1.0, 0.0)  # fresh
+    psim = jnp.where((nzb & nza) | (nzb & ~nza), 1.0, 0.0)  # alive or dead
+    return psip, psim
+
+
+def build_moving_advdiff_system(cap_st, D, f, bc_i, border, u_bulk, u_gamma,
+                                t, dt, scheme):
+    """(apply, rhs) for prescribed-motion advection-diffusion
+    (A/b_mono_unstead_advdiff_moving, advectiondiffusion.jl:64-200): the
+    moving diffusion blocks plus spatial flux-form convection weighted by
+    the fresh/dead ψ_conv factors."""
+    import types
+
+    from ..operators import make_convection_ops
+
+    ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap_st)
+    psip, psim = psi_weights(scheme, Vb, Va)
+    cpp, cpm = psi_conv_weights(Vb, Va)
+    ia, ib = build_I_bc(bc_i)
+    Id = _eval_D(D, C_sp)
+    dV = Va - Vb
+
+    cap_sp = types.SimpleNamespace(
+        A=ops.A, B=ops.B, V=ops.V,
+        W=tuple(jnp.where(w != 0, 1.0 / w, 0.0) for w in ops.Wdag),
+    )
+    conv = make_convection_ops(cap_sp, u_bulk, u_gamma)
+
+    def apply(x):
+        TW, TG = x
+        q = ops.flux(psip * TW, psip * TG)
+        r1 = (
+            Va * TW
+            + Id * ops.GT(q)
+            - dV * TG
+            - (conv.conv(cpp * TW) + 0.5 * conv.kconv(cpp * TW))
+            - 0.5 * conv.kconv(cpp * TG)
+        )
+        q2 = ops.flux(TW, TG)
+        r2 = ib * ops.HT(q2) + ia * Gamma0 * TG
+        if border is not None:
+            r1 = border.matvec(r1, TW)
+        return (r1, r2)
+
+    def rhs(x_prev):
+        TW, TG = x_prev
+        gg = _eval_g(bc_i, Cg_sp, Gamma0, t)
+        fn1 = _eval_f(f, C_sp, t + dt)
+        if scheme == "CN":
+            fn = _eval_f(f, C_sp, t)
+            qm = ops.flux(psim * TW, jnp.zeros_like(TG))
+            hterm = ops.flux(jnp.zeros_like(TW), TG)
+            b1 = (
+                Vb * TW
+                - Id * ops.GT(qm)
+                - 0.5 * Id * ops.GT(hterm)
+                + 0.5 * ops.V * (fn + fn1)
+                - 0.5 * conv.kconv(psim * TW)
+                - 0.5 * conv.kconv(TG)
+                - conv.conv(TW)
+            )
+        else:
+            b1 = (
+                Vb * TW
+                + ops.V * fn1
+                - 0.5 * conv.kconv(cpm * TW)
+                - 0.5 * conv.kconv(TG)
+                - conv.conv(cpm * TW)
+            )
+        b2 = Gamma0 * gg
+        if border is not None:
+            b1 = border.rhs(b1, t)
+        return (b1, b2)
+
+    return apply, rhs
+
+
+class MovingAdvDiffusionUnsteadyMono(_ScalarSolverBase):
+    """Prescribed-motion advection-diffusion
+    (solve_MovingAdvDiffusionUnsteadyMono!, advectiondiffusion.jl:203+)."""
+
+    def __init__(self, phase, bc_b, bc_i, dt, u0, mesh, scheme="BE"):
+        self.phase = phase
+        self.bc_b = bc_b
+        self.bc_i = bc_i
+        self.dt = float(dt)
+        self.u0 = u0
+        self.mesh = mesh
+        self.scheme = scheme
+        self.border = border_info(mesh, bc_b)
+
+    def solve(self, body_st, t_start, t_end, u_bulk, u_gamma,
+              method="direct", p=6, s=1):
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        D, f = self.phase.diffusion, self.phase.source
+        bc_i, border, mesh, scheme = self.bc_i, self.border, self.mesh, self.scheme
+
+        def step(x, t):
+            cap_st = compute_capacity_spacetime(body_st, mesh, t, t + dt, p=p, s=s)
+            apply_fn, rhs_fn = build_moving_advdiff_system(
+                cap_st, D, f, bc_i, border, u_bulk, u_gamma, t, dt, scheme
+            )
+            b = rhs_fn(x)
+            if method == "direct":
+                return _direct_solve(apply_fn, b)
+            from jax.scipy.sparse.linalg import bicgstab
+
+            xn, _ = bicgstab(apply_fn, b, x0=x, tol=1e-10, maxiter=2000)
+            return xn
+
+        @jax.jit
+        def run(u0):
+            def body(x, k):
+                return step(x, t_start + k * dt), None
+
+            return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
+
+        xf, _ = run(self.u0)
+        self.x = xf
+        self.states = [xf]
+        return self.x
+
+
 class MovingDiffusionUnsteadyMono(_ScalarSolverBase):
     """Prescribed-motion mono diffusion (MovingDiffusionUnsteadyMono,
     diffusion.jl:15-268)."""

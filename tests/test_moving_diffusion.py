@@ -69,3 +69,34 @@ def test_moving_translating_interval_bounded():
     capF = solver.capacity_final
     Va = np.asarray(capF.A[1][..., 0])
     assert Tw[Va > 1e-10].max() > 0.2
+
+
+def test_moving_advdiff_zero_velocity_matches_diffusion():
+    """With zero velocity the moving advdiff system must equal the moving
+    diffusion system."""
+    from penguin_tpu.solvers.moving_diffusion import (
+        MovingAdvDiffusionUnsteadyMono,
+    )
+
+    nx, lx = 32, 4.0
+    mesh = pt.Mesh((nx,), (lx,), (0.0,))
+    body1d = pt.geometry.interval(2.0, 1.0)
+    body_st = lambda x, t: body1d(x)
+    dt = 0.5 * (lx / nx) ** 2
+    t_end = 5.5 * dt
+    cap = pt.compute_capacity(body1d, mesh)
+    ops = pt.make_diffusion_ops(cap)
+    bc = pt.Dirichlet(1.0)
+    bc0 = pt.Dirichlet(0.0)
+    bc_b = pt.BorderConditions({"left": bc0, "right": bc0})
+    phase = pt.Phase(cap, ops, lambda x, y, z, t: 0.0, 1.0)
+    z = jnp.zeros(mesh.np_shape)
+
+    ref = MovingDiffusionUnsteadyMono(phase, bc_b, bc, dt, (z, z), mesh, "BE")
+    ref.solve(body_st, 0.0, t_end, method="direct", p=6, s=1)
+
+    adv = MovingAdvDiffusionUnsteadyMono(phase, bc_b, bc, dt, (z, z), mesh, "BE")
+    adv.solve(body_st, 0.0, t_end, (z,), z, method="direct", p=6, s=1)
+
+    sel = np.asarray(cap.cell_types) != 0
+    assert np.abs(np.asarray(adv.x[0]) - np.asarray(ref.x[0]))[sel].max() < 1e-10
