@@ -79,5 +79,5 @@ def test_two_layer_couette():
     ug1 = np.asarray(solver.velocity(0, 0, gamma=True))
     ug2 = np.asarray(solver.velocity(1, 0, gamma=True))
     cut1 = np.asarray(fa.capacity_u[0].cell_types) == -1
-    cut1[0, :] = cut1[-1, :] = False  # border columns carry wall surgery
+    cut1[0, :] = cut1[n - 1, :] = cut1[-1, :] = False  # border/wall columns
     assert np.abs(ug1[cut1] - ug2[cut1]).max() < 1e-6
