@@ -1,0 +1,202 @@
+"""Prescribed-motion (moving-boundary) Stokes.
+
+Re-design of ``/root/reference/src/prescribedmotionsolver/stokes.jl``:
+per time step the velocity-component and pressure capacities are rebuilt on
+the space-time slab (on device, traced slab bounds) and the unsteady Stokes
+system is assembled from the slab's spatial blocks:
+
+  momentum d: (Iρ V^st/dt) uω + θ visc^st(Ψ⁺ ·) uω/uγ - ΔV uγ + grad^st p
+  tie d:      Ψ⁺ uγ = Ψ⁺ g_cut
+  continuity: spatial slices of the slab pressure operators
+
+(moving_stokes2D_blocks + assemble, stokes.jl:327-520).  For a static body
+this reduces exactly to the unsteady Stokes θ-scheme (the slab capacities
+carry the dt factors) — unit-tested against StokesMono.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..assembly import eval_condition_value, _col_G_nz
+from ..boundary import Dirichlet
+from ..capacity import compute_capacity_spacetime
+from ..operators import dm, dm_t
+from .moving_diffusion import _direct_solve, psi_weights, slice_spacetime
+from .stokes import PinPressureGauge, VelocityBorder
+
+__all__ = ["MovingStokesMono"]
+
+
+class MovingStokesMono:
+    def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None):
+        self.fluid = fluid
+        self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
+        self.bc_cut = bc_cut or Dirichlet(0.0)
+        self.N = fluid.ndim
+        self.borders = tuple(
+            VelocityBorder(fluid.mesh_u[d], self.bc_u[d], d)
+            for d in range(self.N)
+        )
+        gauge = pressure_gauge or PinPressureGauge()
+        Vp = np.asarray(fluid.capacity_p.V)
+        idx = gauge.index if isinstance(gauge, PinPressureGauge) else None
+        if idx is None:
+            flatF = Vp.ravel(order="F")
+            k = int(np.argmax(flatF > 1e-12)) if (flatF > 1e-12).any() else 0
+            idx = np.unravel_index(k, Vp.shape, order="F")
+        pin = np.zeros(Vp.shape, bool)
+        pin[tuple(int(v) for v in idx)] = True
+        self.pin_mask = jnp.asarray(pin)
+
+    def _slab_system(self, body_st, t, dt, theta, scheme, p, s, x_prev,
+                     t_next):
+        N = self.N
+        fl = self.fluid
+        comp = []
+        for d in range(N):
+            cap_st = compute_capacity_spacetime(
+                body_st, fl.mesh_u[d], 0.0, dt, p=p, s=s,
+                params=(t,),
+            )
+            comp.append(slice_spacetime(cap_st))
+        cap_p_st = compute_capacity_spacetime(
+            body_st, fl.mesh_p, 0.0, dt, p=p, s=s, params=(t,)
+        )
+        ops_p, _, _, _, _, _ = slice_spacetime(cap_p_st)
+
+        mu = fl.mu
+        rho = fl.rho
+
+        def coef(c, C_sp):
+            if callable(c):
+                coords = [C_sp[..., i] for i in range(C_sp.shape[-1])]
+                return eval_condition_value(c, coords)
+            return c
+
+        psis = [psi_weights(scheme, sl[2], sl[1]) for sl in comp]
+        u_act = [
+            jnp.asarray(_col_G_nz(sl[0]) | (sl[1] != 0) | (sl[2] != 0))
+            for sl in comp
+        ]
+
+        def apply(x):
+            uws = x[0:2 * N:2]
+            ugs = x[1:2 * N:2]
+            pp = x[2 * N]
+            out = []
+            for d in range(N):
+                ops, Va, Vb, G0, C_sp, Cg = comp[d]
+                Imu = coef(mu, C_sp)
+                Irho = coef(rho, C_sp)
+                pplus = psis[d][0]
+                q = ops.flux(pplus * uws[d], pplus * ugs[d])
+                dV = Va - Vb
+                yw = (
+                    Irho * ops.V / dt * uws[d]
+                    + theta * Imu * ops.GT(q)
+                    - dV * ugs[d]
+                    - ops_p.A[d] * dm(pp, d)
+                )
+                yw = jnp.where(u_act[d], yw, uws[d])
+                yg = pplus * ugs[d]
+                yg = jnp.where(pplus != 0, yg, ugs[d])
+                yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
+                out += [yw, yg]
+            yp = 0.0
+            for d in range(N):
+                Ap = ops_p.A[d]
+                Bp = ops_p.B[d]
+                yp = yp - dm_t(Ap * uws[d], d) + dm_t(Ap * ugs[d], d) \
+                    - Bp * dm_t(ugs[d], d)
+            p_act = _col_G_nz(ops_p)
+            yp = jnp.where(p_act, yp, pp)
+            yp = jnp.where(self.pin_mask, pp, yp)
+            return tuple(out) + (yp,)
+
+        def rhs():
+            out = []
+            for d in range(N):
+                ops, Va, Vb, G0, C_sp, Cg = comp[d]
+                Imu = coef(mu, C_sp)
+                Irho = coef(rho, C_sp)
+                pplus = psis[d][0]
+                uw_p = x_prev[2 * d]
+                ug_p = x_prev[2 * d + 1]
+                coords = [C_sp[..., i] for i in range(C_sp.shape[-1])]
+                f_p = eval_condition_value(fl.f_u, coords, t_next - dt)
+                f_n = eval_condition_value(fl.f_u, coords, t_next)
+                load = ops.V * (theta * f_n + (1 - theta) * f_p)
+                q = ops.flux(pplus * uw_p, pplus * ug_p)
+                bw = Irho * ops.V / dt * uw_p \
+                    - (1 - theta) * Imu * ops.GT(q) + load
+                bw = jnp.where(u_act[d], bw, 0.0)
+                gco = [Cg[..., i] for i in range(Cg.shape[-1])]
+                g = eval_condition_value(self.bc_cut.value, gco, t_next)
+                bg = pplus * g
+                bg = jnp.where(pplus != 0, bg, 0.0)
+                bw, bg = self.borders[d].rhs(bw, bg, t_next)
+                out += [bw, bg]
+            bp = jnp.zeros_like(self.fluid.capacity_p.V)
+            bp = jnp.where(self.pin_mask, 0.0, bp)
+            return tuple(out) + (bp,)
+
+        return apply, rhs
+
+    def zero_state(self):
+        N = self.N
+        z = [jnp.zeros_like(self.fluid.operator_u[d].V) for d in range(N)]
+        out = []
+        for d in range(N):
+            out += [z[d], z[d]]
+        return tuple(out) + (jnp.zeros_like(self.fluid.capacity_p.V),)
+
+    def solve(self, body_st, dt, t_start, t_end, scheme="BE", x0=None,
+              p=4, s=1, method="lstsq"):
+        """``body_st(x..., tau, params=(t_abs,))`` is evaluated on the slab
+        with slab-relative time tau in [0, dt]; params carries the absolute
+        slab start so rigid motions can be expressed."""
+        theta = 0.5 if scheme == "CN" else 1.0
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        x = x0 if x0 is not None else self.zero_state()
+
+        @jax.jit
+        def run(x0_):
+            def body(xc, k):
+                t = t_start + k * dt
+                apply_fn, rhs_fn = self._slab_system(
+                    body_st, t, dt, theta, scheme, p, s, xc, t + dt
+                )
+                from jax.flatten_util import ravel_pytree
+
+                b = rhs_fn()
+                flat, unravel = ravel_pytree(b)
+                nloc = flat.size
+
+                def fa(v):
+                    return ravel_pytree(apply_fn(unravel(v)))[0]
+
+                A = jax.vmap(fa)(jnp.eye(nloc, dtype=flat.dtype)).T
+                row_nz = jnp.abs(A).sum(axis=1) > 1e-13
+                col_nz = jnp.abs(A).sum(axis=0) > 1e-13
+                keep = row_nz & col_nz
+                dd = keep.astype(A.dtype)
+                A = A * dd[:, None] * dd[None, :] + jnp.diag(1.0 - dd)
+                bb = jnp.where(keep, flat, 0.0)
+                sol, *_ = jnp.linalg.lstsq(A, bb, rcond=1e-12)
+                return unravel(sol), None
+
+            xf, _ = jax.lax.scan(body, x0_, jnp.arange(K, dtype=jnp.float64))
+            return xf
+
+        self.x = run(x)
+        return self.x
+
+    def velocity(self, d, gamma=False):
+        return self.x[2 * d + (1 if gamma else 0)]
+
+    @property
+    def pressure(self):
+        return self.x[2 * self.N]
