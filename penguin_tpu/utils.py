@@ -1,0 +1,149 @@
+"""Field initializers, velocity generators, small-cell remedies, and the
+adaptive time-step controller (re-design of
+``/root/reference/src/utils.jl``, the capacity-cleaning utilities of
+``src/capacity.jl:693-851``, and ``adapt_timestep`` of
+``src/solver.jl:611-662``)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "initialize_temperature_uniform",
+    "initialize_temperature_square",
+    "initialize_temperature_circle",
+    "initialize_temperature_function",
+    "initialize_rotating_velocity_field",
+    "initialize_poiseuille_velocity_field",
+    "initialize_radial_velocity_field",
+    "remove_small_volumes",
+    "adapt_timestep",
+    "volume_redefinition",
+]
+
+
+# -- temperature initializers (utils.jl:5-56) -------------------------------
+
+def initialize_temperature_uniform(mesh, value, dtype=None):
+    T = jnp.full(mesh.np_shape, value, dtype=dtype)
+    return T, T
+
+
+def _dof_coords(mesh):
+    N = mesh.ndim
+    out = []
+    for d in range(N):
+        c = np.zeros(mesh.np_shape[d])
+        c[:] = np.asarray(mesh.nodes[d])
+        shp = [1] * N
+        shp[d] = mesh.np_shape[d]
+        out.append(np.broadcast_to(c.reshape(shp), mesh.np_shape))
+    return out
+
+
+def initialize_temperature_square(mesh, center, half_width, value, base=0.0):
+    X, Y = _dof_coords(mesh)[:2]
+    m = (np.abs(X - center[0]) <= half_width) & (np.abs(Y - center[1]) <= half_width)
+    T = jnp.where(jnp.asarray(m), value, base)
+    return T, T
+
+
+def initialize_temperature_circle(mesh, center, radius, value, base=0.0):
+    X, Y = _dof_coords(mesh)[:2]
+    m = (X - center[0]) ** 2 + (Y - center[1]) ** 2 <= radius**2
+    T = jnp.where(jnp.asarray(m), value, base)
+    return T, T
+
+
+def initialize_temperature_function(mesh, func):
+    coords = _dof_coords(mesh)
+    T = jnp.asarray(func(*coords))
+    return T, T
+
+
+# -- velocity field generators (utils.jl:62-130) ----------------------------
+
+def initialize_rotating_velocity_field(mesh, magnitude=1.0, center=None):
+    X, Y = _dof_coords(mesh)[:2]
+    if center is None:
+        center = (
+            mesh.x0[0] + mesh.domain_size[0] / 2,
+            mesh.x0[1] + mesh.domain_size[1] / 2,
+        )
+    ux = jnp.asarray(-(Y - center[1]) * magnitude)
+    uy = jnp.asarray((X - center[0]) * magnitude)
+    return ux, uy
+
+
+def initialize_poiseuille_velocity_field(mesh):
+    X, Y = _dof_coords(mesh)[:2]
+    return jnp.asarray(X * (1 - X)), jnp.zeros(mesh.np_shape)
+
+
+def initialize_radial_velocity_field(mesh, center, magnitude=1.0):
+    X, Y = _dof_coords(mesh)[:2]
+    r = np.sqrt((X - center[0]) ** 2 + (Y - center[1]) ** 2)
+    r = np.where(r > 0, r, 1.0)
+    return (
+        jnp.asarray((X - center[0]) / r * magnitude),
+        jnp.asarray((Y - center[1]) / r * magnitude),
+    )
+
+
+# -- small-cell remedies (capacity.jl:693-851) ------------------------------
+
+def remove_small_volumes(capacity, tol):
+    """Zero out every capacity entry of cells with V < tol (functional
+    version of remove_small_volumes!); returns a new Capacity."""
+    small = capacity.V < tol
+    keep = ~small
+    kf = keep.astype(capacity.V.dtype)
+    return dataclasses.replace(
+        capacity,
+        V=capacity.V * kf,
+        Gamma=capacity.Gamma * kf,
+        cell_types=jnp.where(small, 0, capacity.cell_types),
+        A=tuple(a * kf for a in capacity.A),
+        B=tuple(b * kf for b in capacity.B),
+        W=tuple(w * kf for w in capacity.W),
+        C_om=capacity.C_om * kf[..., None],
+    )
+
+
+# -- adaptive time step (solver.jl:611-662) ---------------------------------
+
+def adapt_timestep(velocity_field, mesh, cfl_target, dt_current, dt_min,
+                   dt_max, growth_factor=1.1, shrink_factor=0.8,
+                   safety_factor=0.9):
+    """Interface-velocity CFL controller.  NOTE: the reference swaps the
+    growth/shrink factors in its min/max clamps (solver.jl:646-652); we use
+    the intended semantics (grow at most by growth_factor, shrink at most
+    to shrink_factor)."""
+    v_max = float(np.max(np.abs(np.asarray(velocity_field))))
+    if v_max < 1e-10:
+        return min(dt_current * growth_factor, dt_max), 0.0
+    h_min = min(mesh.h[: mesh.ndim])
+    dt_opt = safety_factor * cfl_target * h_min / v_max
+    if dt_opt > dt_current:
+        dt_new = min(dt_opt, dt_current * growth_factor)
+    else:
+        dt_new = max(dt_opt, dt_current * shrink_factor)
+    dt_new = float(np.clip(dt_new, dt_min, dt_max))
+    return dt_new, v_max * dt_new / h_min
+
+
+def volume_redefinition(capacity, ops):
+    """1D second-order consistency correction: rebuild W and V from discrete
+    gradients of the centroid polynomials (utils.jl:134-158)."""
+    p_o = capacity.C_om[..., 0]
+    p_g = capacity.C_ga[..., 0]
+    grad = ops.grad(p_o, p_g)[0]
+    W_new = (grad * capacity.W[0],)
+    q_o = 0.5 * p_o**2
+    q_g = 0.5 * p_g**2
+    g2 = ops.grad(q_o, q_g)
+    V_new = ops.div(g2, g2)
+    return dataclasses.replace(capacity, W=W_new, V=V_new)

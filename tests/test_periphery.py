@@ -1,0 +1,86 @@
+"""Utilities, 1D front tracking, interpolation, viz, VTK smoke tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu import utils, viz, vtk
+from penguin_tpu.front_tracking1d import FrontTracker1D
+from penguin_tpu.interpolation import cubic_interpol, lin_interpol, quad_interpol
+
+
+def test_front_tracker_1d():
+    ft = FrontTracker1D([0.4, 0.6], first_inside=False)  # fluid in [0.4, 0.6]
+    x = jnp.asarray([0.0, 0.45, 0.5, 0.61, 1.0])
+    inside = np.asarray(ft.inside(x))
+    np.testing.assert_array_equal(inside, [False, True, True, False, False])
+    d = np.asarray(ft.sdf(x))
+    np.testing.assert_allclose(d, [0.4, -0.05, -0.1, 0.01, 0.4], atol=1e-12)
+    assert abs(ft.fluid_length((0.0, 1.0)) - 0.2) < 1e-12
+    # capacity from the 1D front tracker matches the interval level set
+    mesh = pt.Mesh((40,), (1.0,), (0.0,))
+    cap_ft = pt.compute_capacity(ft.body(), mesh)
+    cap_ls = pt.compute_capacity(pt.geometry.interval(0.5, 0.1), mesh)
+    np.testing.assert_allclose(np.asarray(cap_ft.V), np.asarray(cap_ls.V),
+                               atol=1e-10)
+
+
+def test_interpolation():
+    xs = np.linspace(0, 1, 11)
+    ys = xs**2
+    xq = np.asarray([0.05, 0.33, 0.77])
+    for interp, tol in ((lin_interpol, 5e-3), (quad_interpol, 1e-10),
+                        (cubic_interpol, 5e-3)):
+        got = np.asarray(interp(xs, ys, jnp.asarray(xq)))
+        np.testing.assert_allclose(got, xq**2, atol=tol)
+
+
+def test_initializers_and_adapt():
+    mesh = pt.Mesh((16, 16), (1.0, 1.0), (0.0, 0.0))
+    Tw, Tg = utils.initialize_temperature_uniform(mesh, 2.5)
+    assert float(Tw.max()) == 2.5
+    Tw, _ = utils.initialize_temperature_circle(mesh, (0.5, 0.5), 0.2, 1.0)
+    assert 0 < float(Tw.sum()) < Tw.size
+    ux, uy = utils.initialize_rotating_velocity_field(mesh)
+    assert np.abs(np.asarray(ux)).max() > 0
+    dt_new, cfl = utils.adapt_timestep(np.asarray([0.5]), mesh, 0.5, 1e-2,
+                                       1e-5, 1.0)
+    assert dt_new > 0 and cfl > 0
+
+
+def test_small_cell_removal():
+    mesh = pt.Mesh((20, 20), (4.0, 4.0), (0.0, 0.0))
+    cap = pt.compute_capacity(pt.geometry.circle((2.0, 2.0), 1.0), mesh)
+    tol = 1e-3 * float(cap.V.max())
+    cap2 = utils.remove_small_volumes(cap, tol)
+    V2 = np.asarray(cap2.V)
+    assert ((V2 > 0) & (V2 < tol)).sum() == 0
+
+
+def test_viz_and_vtk(tmp_path):
+    mesh = pt.Mesh((16, 16), (4.0, 4.0), (0.0, 0.0))
+    body = pt.geometry.circle((2.0, 2.0), 1.0)
+    cap = pt.compute_capacity(body, mesh)
+    ops = pt.make_diffusion_ops(cap)
+    bc = pt.Dirichlet(0.0)
+    bc1 = pt.Dirichlet(1.0)
+    bc_b = pt.BorderConditions({k: bc1 for k in ("left", "right", "top", "bottom")})
+    from penguin_tpu.solvers import DiffusionSteadyMono
+
+    solver = DiffusionSteadyMono(pt.Phase(cap, ops, lambda x, y, z: 4.0, 1.0),
+                                 bc_b, bc)
+    solver.solve(method="direct")
+    png = viz.plot_solution(solver, mesh, body, cap,
+                            filename=str(tmp_path / "sol.png"))
+    assert os.path.exists(png)
+    f = vtk.write_vtk(str(tmp_path / "sol"), mesh, solver)
+    assert os.path.exists(f) and os.path.getsize(f) > 1000
+    pvd = vtk.write_vtk_series(str(tmp_path / "series"), mesh,
+                               [solver.x, solver.x], times=[0.0, 1.0])
+    assert os.path.exists(pvd)
+    from penguin_tpu.front_tracking import markers_circle
+
+    amp = viz.interface_spectrum(markers_circle((2, 2), 1.0, 64), (2, 2))
+    assert amp.shape[0] == 33 and amp[1:].max() < 1e-10
