@@ -118,8 +118,11 @@ def _direct_solve(apply_fn, b):
     return unravel(x)
 
 
-def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme):
-    """Returns (apply, rhs) closures for one slab."""
+def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme,
+                             g_override=None):
+    """Returns (apply, rhs) closures for one slab.  ``g_override`` replaces
+    the interface value g_γ (used by the Stefan solvers to feed a traced
+    Gibbs-Thomson value Tm - ε_v v_γ per iteration)."""
     ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap_st)
     psip, psim = psi_weights(scheme, Vb, Va)
     ia, ib = build_I_bc(bc_i)
@@ -138,7 +141,9 @@ def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme):
 
     def rhs(x_prev):
         TW, TG = x_prev
-        gg = _eval_g(bc_i, Cg_sp, Gamma0, t)
+        gg = g_override if g_override is not None else _eval_g(
+            bc_i, Cg_sp, Gamma0, t
+        )
         if scheme == "CN":
             fn = _eval_f(f, C_sp, t)
             fn1 = _eval_f(f, C_sp, t + dt)

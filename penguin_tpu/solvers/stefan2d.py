@@ -133,13 +133,28 @@ class StefanMono2D(_ScalarSolverBase):
         bc_i, border, mesh, scheme = self.bc_i, self.border, self.mesh, self.scheme
         nm = front.markers.shape[0]
 
+        from ..boundary import GibbsThomson
+
+        gibbs = isinstance(bc_i, GibbsThomson)
+
         def slab_solve(Told, mk_a, mk_b, t):
             cap = compute_capacity_spacetime(
                 _st_marker_body, mesh, 0.0, dt, p=p, s=s,
                 params=(mk_a, mk_b, dt, sign),
             )
+            g_override = None
+            if gibbs:
+                # Gibbs-Thomson: g = Tm - eps_v * v_gamma with the cell-wise
+                # normal interface velocity v = (V(t1)-V(t0))/(dt Γ)
+                # (reference feeds bc.vᵞ from the front motion,
+                # liquidmotionsolver/diffusion2d.jl:94-101)
+                _, Va_, Vb_, G0_, _, _ = slice_spacetime(cap)
+                v_g = (Vb_ - Va_) / (dt * jnp.where(G0_ > 0, G0_, 1.0))
+                v_g = jnp.where(G0_ > 0, v_g, 0.0)
+                g_override = bc_i.Tm - bc_i.eps_v * v_g
             apply_fn, rhs_fn = build_moving_mono_system(
-                cap, D, f, bc_i, border, t, dt, scheme
+                cap, D, f, bc_i, border, t, dt, scheme,
+                g_override=g_override,
             )
             b = rhs_fn(Told)
             if method == "direct":
