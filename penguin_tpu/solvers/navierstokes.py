@@ -185,6 +185,48 @@ class NavierStokesMono(StokesMono):
 
         return apply
 
+    def nonlinear_residual(self, x, b):
+        """R(x) = A(x)x - b with the convection evaluated at x itself (the
+        true steady nonlinear residual; the reference builds its analytic
+        Newton Jacobian by hand, navierstokes.jl:2111-2434 — here the exact
+        Jacobian is autodiff of this residual)."""
+        apply_fn = self.make_picard_apply(x)
+        Ax = apply_fn(x)
+        return tuple(a - bb for a, bb in zip(Ax, b))
+
+    def solve_steady_newton(self, max_iter=20, tol=1e-10, damping=1.0,
+                            x0=None, picard_warmup=3, verbose=False):
+        """Steady Newton with exact autodiff Jacobian (reference:
+        Picard warm-up then Newton, solve_NavierStokesMono_steady!,
+        navierstokes.jl:1768-1812)."""
+        from jax.flatten_util import ravel_pytree
+
+        b = self.rhs_steady()
+        x = x0 if x0 is not None else self.zero_state()
+        if picard_warmup:
+            x = self.solve_steady(max_iter=picard_warmup, tol=0.0, x0=x)
+        flat_x, unravel = ravel_pytree(x)
+
+        def R(v):
+            return ravel_pytree(self.nonlinear_residual(unravel(v), b))[0]
+
+        jac = jax.jit(jax.jacfwd(R))
+        Rj = jax.jit(R)
+        self.residual_history = []
+        for it in range(max_iter):
+            r = Rj(flat_x)
+            rn = float(jnp.linalg.norm(r))
+            self.residual_history.append(rn)
+            if verbose:
+                print(f"newton iter {it}: |R|={rn:.3e}")
+            if rn < tol:
+                break
+            J = jac(flat_x)
+            delta, *_ = jnp.linalg.lstsq(J, r, rcond=1e-12)
+            flat_x = flat_x - damping * delta
+        self.x = unravel(flat_x)
+        return self.x
+
     def solve_steady(self, max_iter=30, tol=1e-8, relax=1.0, method="lstsq",
                      x0=None, verbose=False):
         """Picard iteration (the reference warms up with Picard before

@@ -103,3 +103,30 @@ def test_lid_cavity_steady_picard_re100():
     center = ux[n // 2, :n]
     assert -0.30 < center.min() < -0.12, center.min()
     assert abs(center[n - 1] - 1.0) < 1e-8
+
+
+@pytest.mark.slow
+def test_lid_cavity_newton_matches_picard():
+    """Steady Newton (autodiff Jacobian) must reach the same Re=100 cavity
+    solution as converged Picard, faster."""
+    n = 16
+    fluid, _ = _tg_fluid(n, L=1.0, mu=1.0 / 100.0, rho=1.0)
+    lid = pt.Dirichlet(1.0)
+    noslip = pt.Dirichlet(0.0)
+    bc_ux = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": lid}
+    )
+    bc_uy = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": noslip}
+    )
+    s1 = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                          pt.Dirichlet(0.0))
+    s1.solve_steady(max_iter=40, tol=1e-10, method="lstsq")
+    s2 = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                          pt.Dirichlet(0.0))
+    s2.solve_steady_newton(max_iter=10, tol=1e-11, picard_warmup=2)
+    assert s2.residual_history[-1] < 1e-11
+    for d in range(2):
+        a = np.asarray(s1.velocity(d))[:n, :n]
+        b = np.asarray(s2.velocity(d))[:n, :n]
+        assert np.abs(a - b).max() < 1e-6
