@@ -190,6 +190,36 @@ def smooth_displacements(disp, window=3, passes=1):
     return out
 
 
+def compute_volume_jacobian(mesh, markers, sign=1.0, p=4, s=1):
+    """∂(cell fluid volume)/∂(marker normal displacement): the exact
+    autodiff equivalent of the reference's central finite differences of
+    LibGEOS-clipped polygon areas (compute_volume_jacobian,
+    front_tracking.jl:635-802).
+
+    Returns a dense array of shape (nx+1, ny+1, n_markers)."""
+    import numpy as np
+    from .quadrature import box_integrals
+
+    nx, ny = mesh.n
+    lox = jnp.asarray(np.asarray(mesh.nodes[0][:-1])).reshape(nx, 1)
+    hix = jnp.asarray(np.asarray(mesh.nodes[0][1:])).reshape(nx, 1)
+    loy = jnp.asarray(np.asarray(mesh.nodes[1][:-1])).reshape(1, ny)
+    hiy = jnp.asarray(np.asarray(mesh.nodes[1][1:])).reshape(1, ny)
+    normals = polyline_normals(markers)
+
+    def volumes(d):
+        mk = markers + d[:, None] * normals
+
+        def body(xx, yy):
+            return sign * polyline_sdf(mk, xx, yy)
+
+        V, _ = box_integrals(body, [lox, loy], [hix, hiy], p=p, s=s)
+        return jnp.pad(V, ((0, 1), (0, 1))).ravel()
+
+    J = jax.jacfwd(volumes)(jnp.zeros(markers.shape[0], markers.dtype))
+    return J.reshape(nx + 1, ny + 1, markers.shape[0])
+
+
 class FrontTracker:
     """Thin stateful wrapper mirroring the reference API
     (``FrontTracker``, front_tracking.jl:5-54); the functional kernels above
