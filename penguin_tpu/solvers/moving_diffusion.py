@@ -361,6 +361,61 @@ class MovingAdvDiffusionUnsteadyMono(_ScalarSolverBase):
         return self.x
 
 
+def build_moving_diph_stef_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
+                                  border2, t, dt, scheme):
+    """Stefan variant of the diphasic slab system
+    (A/b_diph_unstead_diff_moving_stef, liquidmotionsolver/diffusion.jl:
+    445-652): the γ rows pin the interface temperature — jump row
+    ``α₁T1γ - α₂T2γ = g`` and ``α₂T2γ = g`` — leaving the interface fluxes
+    free for the outer front-position Newton."""
+    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
+    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
+    p1p, p1m = psi_weights(scheme, Vb1, Va1)
+    p2p, p2m = psi_weights(scheme, Vb2, Va2)
+    a1, a2 = ic.scalar.alpha1, ic.scalar.alpha2
+    Id1 = _eval_D(D1, C1)
+    Id2 = _eval_D(D2, C2)
+    dV1, dV2 = Va1 - Vb1, Va2 - Vb2
+
+    def apply(x):
+        TW1, TG1, TW2, TG2 = x
+        q1 = ops1.flux(p1p * TW1, p1p * TG1)
+        q2 = ops2.flux(p2p * TW2, p2p * TG2)
+        r1 = Va1 * TW1 + Id1 * ops1.GT(q1) - dV1 * TG1
+        r3 = Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2
+        r2 = a1 * TG1 - a2 * TG2
+        r4 = a2 * TG2
+        if border1 is not None:
+            r1 = border1.matvec(r1, TW1)
+        if border2 is not None:
+            r3 = border2.matvec(r3, TW2)
+        return (r1, r2, r3, r4)
+
+    def rhs(x_prev):
+        TW1, TG1, TW2, TG2 = x_prev
+        gg = eval_condition_value(
+            ic.scalar.value, [Cg1[..., d] for d in range(Cg1.shape[-1])], t
+        ) if callable(ic.scalar.value) else ic.scalar.value * jnp.ones_like(Vb1)
+
+        def bulk(ops, Vb, Id, pm, TW, TG, f, C):
+            qm = ops.flux(pm * TW, pm * TG)
+            fn = _eval_f(f, C, t)
+            fn1 = _eval_f(f, C, t + dt)
+            if scheme == "CN":
+                return Vb * TW - Id * ops.GT(qm) + 0.5 * ops.V * (fn + fn1)
+            return Vb * TW + ops.V * fn1
+
+        b1 = bulk(ops1, Vb1, Id1, p1m, TW1, TG1, f1, C1)
+        b3 = bulk(ops2, Vb2, Id2, p2m, TW2, TG2, f2, C2)
+        if border1 is not None:
+            b1 = border1.rhs(b1, t)
+        if border2 is not None:
+            b3 = border2.rhs(b3, t)
+        return (b1, gg, b3, gg)
+
+    return apply, rhs
+
+
 class MovingDiffusionUnsteadyMono(_ScalarSolverBase):
     """Prescribed-motion mono diffusion (MovingDiffusionUnsteadyMono,
     diffusion.jl:15-268)."""

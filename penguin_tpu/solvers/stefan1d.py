@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..assembly import border_info
+from ..boundary import BorderConditions
 from ..capacity import compute_capacity_spacetime
 from .diffusion import _ScalarSolverBase
 from .moving_diffusion import (
@@ -156,6 +157,98 @@ class MovingLiquidDiffusionUnsteadyMono(_ScalarSolverBase):
         return self.x
 
 
+class MovingLiquidDiffusionUnsteadyDiph(_ScalarSolverBase):
+    """1D two-phase Stefan (Neumann problem): Newton over the front with
+    the diphasic slab system; the residual sums the interface fluxes of
+    both phases (reference liquidmotionsolver/diffusion.jl:653-900:
+    ``res = H_{n+1} - H_n - (flux1 + flux2)/ρL``)."""
+
+    def __init__(self, phase1, phase2, bc_b, ic, dt, u0, mesh, scheme="BE"):
+        self.phase1, self.phase2 = phase1, phase2
+        self.bc_b = bc_b
+        self.ic = ic
+        self.dt = float(dt)
+        self.u0 = u0
+        self.mesh = mesh
+        self.scheme = scheme
+
+    def solve(self, xf0, t_start, t_end, newton_params=(1000, 1e-10, 1e-10, 1.0),
+              lr_strategy="fixed", p=6, s=1):
+        from .moving_diffusion import build_moving_diph_stef_system \
+            as build_moving_diph_system
+
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        max_iter, tol, reltol, alpha = newton_params
+        max_iter = int(max_iter)
+        rhoL = self.ic.flux.value
+        D1, f1 = self.phase1.diffusion, self.phase1.source
+        D2, f2 = self.phase2.diffusion, self.phase2.source
+        mesh, scheme, ic, bc_b = self.mesh, self.scheme, self.ic, self.bc_b
+
+        def body2(x, t, params):
+            return -_interp_body_1d(x, t, params)
+
+        def slab_solve(Told, xf_a, xf_b, t):
+            cap1 = compute_capacity_spacetime(
+                _interp_body_1d, mesh, 0.0, dt, p=p, s=s,
+                params=(xf_a, xf_b, dt),
+            )
+            cap2 = compute_capacity_spacetime(
+                body2, mesh, 0.0, dt, p=p, s=s, params=(xf_a, xf_b, dt)
+            )
+            b1m = border_info(mesh, bc_b, phase_mask=cap1.cell_types[..., 0] != 0)
+            b2m = border_info(mesh, bc_b, phase_mask=cap2.cell_types[..., 0] != 0)
+            apply_fn, rhs_fn = build_moving_diph_system(
+                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, t, dt, scheme
+            )
+            X = _direct_solve(apply_fn, rhs_fn(Told))
+            flux1, Va, Vb = interface_flux_1d(cap1, D1, X[0], X[1])
+            flux2, _, _ = interface_flux_1d(cap2, D2, X[2], X[3])
+            res = jnp.sum(Va) - jnp.sum(Vb) - (flux1 + flux2) / rhoL
+            return X, res
+
+        def newton(Told, xf_start, t):
+            def cond(st):
+                X, xf_b, pxf, pg, err, it = st
+                return (it < max_iter) & (err > tol) & (err > reltol * jnp.abs(xf_b))
+
+            def body(st):
+                X, xf_b, pxf, pg, err, it = st
+                Xn, res = slab_solve(Told, xf_start, xf_b, t)
+                step = _lr_step(lr_strategy, alpha, res, xf_b, pxf, pg, it)
+                return (Xn, xf_b + step, xf_b, res, jnp.abs(res), it + 1)
+
+            init = (Told, xf_start, xf_start,
+                    jnp.asarray(0.0, xf_start.dtype),
+                    jnp.asarray(jnp.inf, xf_start.dtype), 0)
+            X, xf_b, _, _, err, it = jax.lax.while_loop(cond, body, init)
+            return X, xf_b, err, it
+
+        @jax.jit
+        def run(u0, xf0_):
+            def stepf(carry, k):
+                X, xf = carry
+                t = t_start + k * dt
+                Xn, xfn, err, it = newton(X, xf, t)
+                return (Xn, xfn), (xfn, err, it)
+
+            (Xf, xff), (xf_log, errs, iters) = jax.lax.scan(
+                stepf, (u0, xf0_), jnp.arange(K + 1.0)
+            )
+            return Xf, xff, xf_log, errs, iters
+
+        dtype = self.u0[0].dtype
+        Xf, xff, xf_log, errs, iters = run(self.u0, jnp.asarray(xf0, dtype))
+        self.x = Xf
+        self.xf = float(xff)
+        self.xf_log = np.asarray(xf_log)
+        self.newton_errs = np.asarray(errs)
+        self.newton_iters = np.asarray(iters)
+        self.states = [Xf]
+        return self.x
+
+
 def find_lambda_stefan(stefan_number, x0=0.1):
     """λ with λ e^{λ²} erf λ = St/√π (Stefan_1d_1ph.jl:17-21)."""
     from scipy.optimize import brentq
@@ -167,3 +260,21 @@ def find_lambda_stefan(stefan_number, x0=0.1):
 
 def stefan_interface_position(t, k, lam):
     return 2.0 * lam * np.sqrt(k * t)
+
+
+def find_lambda_stefan_two_phase(st_l, st_s, alpha_ratio=1.0):
+    """λ for the two-phase Neumann problem (equal-property form):
+    St_l/(e^{λ²} erf λ) - St_s √a/(e^{a λ²} erfc(λ√a)) = λ√π, a = α_l/α_s."""
+    from scipy.optimize import brentq
+    from scipy.special import erf, erfc
+
+    a = alpha_ratio
+
+    def fun(lam):
+        return (
+            st_l / (np.exp(lam**2) * erf(lam))
+            - st_s * np.sqrt(a) / (np.exp(a * lam**2) * erfc(lam * np.sqrt(a)))
+            - lam * np.sqrt(np.pi)
+        )
+
+    return brentq(fun, 1e-6, 3.0)
