@@ -123,11 +123,17 @@ def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme,
     """Returns (apply, rhs) closures for one slab.  ``g_override`` replaces
     the interface value g_γ (used by the Stefan solvers to feed a traced
     Gibbs-Thomson value Tm - ε_v v_γ per iteration)."""
+    from ..assembly import _col_G_nz, _col_H_nz
+
     ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap_st)
     psip, psim = psi_weights(scheme, Vb, Va)
     ia, ib = build_I_bc(bc_i)
     Id = _eval_D(D, C_sp)
     dV = Va - Vb
+    # per-slab activity masks (zero-row elimination -> identity rows):
+    bulk_act = (Va != 0) | (Vb != 0) | _col_G_nz(ops)
+    colH = _col_H_nz(ops)
+    ifc_act = (Gamma0 != 0) | colH
 
     def apply(x):
         TW, TG = x
@@ -135,6 +141,8 @@ def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme,
         r1 = Va * TW + Id * ops.GT(q) - dV * TG
         q2 = ops.flux(TW, TG)
         r2 = ib * ops.HT(q2) + ia * Gamma0 * TG
+        r1 = jnp.where(bulk_act, r1, TW)
+        r2 = jnp.where(ifc_act, r2, TG)
         if border is not None:
             r1 = border.matvec(r1, TW)
         return (r1, r2)
@@ -144,6 +152,7 @@ def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme,
         gg = g_override if g_override is not None else _eval_g(
             bc_i, Cg_sp, Gamma0, t
         )
+        gg = jnp.where(ifc_act, gg, 0.0)
         if scheme == "CN":
             fn = _eval_f(f, C_sp, t)
             fn1 = _eval_f(f, C_sp, t + dt)
@@ -170,6 +179,8 @@ def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
                              border2, t, dt, scheme):
     """(apply, rhs) for the diphasic slab system
     (A_diph_unstead_diff_moving, diffusion.jl:292-501)."""
+    from ..assembly import _col_G_nz
+
     ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
     ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
     p1p, p1m = psi_weights(scheme, Vb1, Va1)
@@ -179,6 +190,8 @@ def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
     Id1 = _eval_D(D1, C1)
     Id2 = _eval_D(D2, C2)
     dV1, dV2 = Va1 - Vb1, Va2 - Vb2
+    act1 = (Va1 != 0) | (Vb1 != 0) | _col_G_nz(ops1)
+    act2 = (Va2 != 0) | (Vb2 != 0) | _col_G_nz(ops2)
 
     def apply(x):
         TW1, TG1, TW2, TG2 = x
@@ -193,6 +206,8 @@ def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
             + be2 * ops2.HT(q2)
             - dV2 * TG2
         )
+        r1 = jnp.where(act1, r1, TW1)
+        r3 = jnp.where(act2, r3, TW2)
         if border1 is not None:
             r1 = border1.matvec(r1, TW1)
         if border2 is not None:
@@ -368,6 +383,8 @@ def build_moving_diph_stef_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
     445-652): the γ rows pin the interface temperature — jump row
     ``α₁T1γ - α₂T2γ = g`` and ``α₂T2γ = g`` — leaving the interface fluxes
     free for the outer front-position Newton."""
+    from ..assembly import _col_G_nz
+
     ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
     ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
     p1p, p1m = psi_weights(scheme, Vb1, Va1)
@@ -376,6 +393,8 @@ def build_moving_diph_stef_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
     Id1 = _eval_D(D1, C1)
     Id2 = _eval_D(D2, C2)
     dV1, dV2 = Va1 - Vb1, Va2 - Vb2
+    act1 = (Va1 != 0) | (Vb1 != 0) | _col_G_nz(ops1)
+    act2 = (Va2 != 0) | (Vb2 != 0) | _col_G_nz(ops2)
 
     def apply(x):
         TW1, TG1, TW2, TG2 = x
@@ -385,6 +404,8 @@ def build_moving_diph_stef_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
         r3 = Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2
         r2 = a1 * TG1 - a2 * TG2
         r4 = a2 * TG2
+        r1 = jnp.where(act1, r1, TW1)
+        r3 = jnp.where(act2, r3, TW2)
         if border1 is not None:
             r1 = border1.matvec(r1, TW1)
         if border2 is not None:

@@ -50,7 +50,7 @@ from .moving_diffusion import (
     slice_spacetime,
 )
 
-__all__ = ["StefanMono2D"]
+__all__ = ["StefanMono2D", "StefanDiph2D"]
 
 
 def _st_marker_body(x, y, t, params):
@@ -249,5 +249,146 @@ class StefanMono2D(_ScalarSolverBase):
         self.residual_log = np.asarray(rns)
         self.iters_log = np.asarray(its)
         self.states = [Tf]
+        front.markers = mkf
+        return self.x
+
+
+class StefanDiph2D(_ScalarSolverBase):
+    """Two-phase 2D Stefan with front tracking (reference StefanDiph2D,
+    stefan.jl:1404-1852): the marker GN/LM loop of StefanMono2D driving the
+    _stef diphasic slab system; the residual sums both phases' interface
+    fluxes:  F = ρL (V1(t0) - V1(t1)) - (flux1 + flux2)."""
+
+    def __init__(self, phase1, phase2, bc_b, ic, dt, u0, mesh, scheme="BE"):
+        self.phase1, self.phase2 = phase1, phase2
+        self.bc_b = bc_b
+        self.ic = ic
+        self.dt = float(dt)
+        self.u0 = u0
+        self.mesh = mesh
+        self.scheme = scheme
+
+    def solve(self, front, t_start, t_end,
+              newton_params=(12, 1e-4, 1e-6, 1.0),
+              interior_phase1=True,
+              latent_sign=1.0,
+              lm_init_lambda=1e-4, lm_lambda_factor=10.0,
+              lm_min_lambda=1e-10, lm_max_lambda=1e6,
+              enable_stencil_fusion=True,
+              smooth_window=5, smooth_passes=1,
+              extrapolation_factor=0.8,
+              p=4, s=1, jac_p=4, jac_s=1):
+        """``latent_sign``: +1 when phase-1 growth *absorbs* latent heat
+        (melting into phase 1, the 1D reference bookkeeping), -1 when
+        phase-1 growth *releases* it (solidification, e.g. Frank disk)."""
+        from ..assembly import border_info
+        from .moving_diffusion import (
+            _eval_D as evD,
+            build_moving_diph_stef_system,
+        )
+
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        max_iter, tol, reltol, alpha = newton_params
+        max_iter = int(max_iter)
+        rhoL = self.ic.flux.value
+        sign = 1.0 if interior_phase1 else -1.0
+        mesh, scheme, ic, bc_b = self.mesh, self.scheme, self.ic, self.bc_b
+        D1, f1 = self.phase1.diffusion, self.phase1.source
+        D2, f2 = self.phase2.diffusion, self.phase2.source
+        nm = front.markers.shape[0]
+
+        def slab_solve(Xold, mk_a, mk_b, t):
+            cap1 = compute_capacity_spacetime(
+                _st_marker_body, mesh, 0.0, dt, p=p, s=s,
+                params=(mk_a, mk_b, dt, sign))
+            cap2 = compute_capacity_spacetime(
+                _st_marker_body, mesh, 0.0, dt, p=p, s=s,
+                params=(mk_a, mk_b, dt, -sign))
+            b1m = border_info(mesh, bc_b, phase_mask=cap1.cell_types[..., 0] != 0)
+            b2m = border_info(mesh, bc_b, phase_mask=cap2.cell_types[..., 0] != 0)
+            apply_fn, rhs_fn = build_moving_diph_stef_system(
+                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, t, dt, scheme)
+            b = rhs_fn(Xold)
+            from jax.scipy.sparse.linalg import bicgstab
+
+            X, _ = bicgstab(apply_fn, b, x0=Xold, tol=1e-9, maxiter=1200)
+            s1 = slice_spacetime(cap1)
+            s2 = slice_spacetime(cap2)
+            Id1 = evD(D1, s1[4])
+            Id2 = evD(D2, s2[4])
+            flux1 = Id1 * s1[0].HT(s1[0].flux(X[0], X[1]))
+            flux2 = Id2 * s2[0].HT(s2[0].flux(X[2], X[3]))
+            F = latent_sign * rhoL * (s1[1] - s1[2]) - (flux1 + flux2)
+            if enable_stencil_fusion:
+                F = _box3_filter(F)
+            return X, F
+
+        def vol_residual(d, mk_a, normals):
+            mk_b = mk_a + d[:, None] * normals
+            Vb = _spatial_volumes(mk_b, mesh, sign, jac_p, jac_s)
+            F = -latent_sign * rhoL * Vb
+            if enable_stencil_fusion:
+                F = _box3_filter(F)
+            return F.ravel()
+
+        jac_fn = jax.jacfwd(vol_residual)
+
+        def gn_step(Xold, mk_a, d0, t):
+            normals = polyline_normals(mk_a)
+
+            def cond(st):
+                d, X, lam, prev_rn, rn, it = st
+                return (it < max_iter) & (rn > tol)
+
+            def body(st):
+                d, X, lam, prev_rn, rn_old, it = st
+                mk_b = mk_a + d[:, None] * normals
+                Xn, F = slab_solve(Xold, mk_a, mk_b, t)
+                Fv = F.ravel()
+                J = jac_fn(d, mk_a, normals)
+                JTJ = J.T @ J
+                diag = jnp.maximum(jnp.diagonal(JTJ),
+                                   1e-10 * jnp.max(jnp.diagonal(JTJ)))
+                delta = jnp.linalg.solve(JTJ + lam * jnp.diag(diag), J.T @ Fv)
+                d_new = smooth_displacements(d - alpha * delta, smooth_window,
+                                             smooth_passes)
+                rn = jnp.linalg.norm(Fv)
+                lam_new = jnp.where(rn < prev_rn,
+                                    jnp.maximum(lam / lm_lambda_factor, lm_min_lambda),
+                                    jnp.minimum(lam * lm_lambda_factor, lm_max_lambda))
+                lam_new = jnp.where(it == 0, lam, lam_new)
+                return (d_new, Xn, lam_new, rn, rn, it + 1)
+
+            init = (d0, Xold, jnp.asarray(lm_init_lambda, d0.dtype),
+                    jnp.asarray(jnp.inf, d0.dtype),
+                    jnp.asarray(jnp.inf, d0.dtype), 0)
+            d, X, lam, _, rn, it = jax.lax.while_loop(cond, body, init)
+            return d, X, rn, it
+
+        @jax.jit
+        def run(u0, markers0):
+            d_zero = jnp.zeros(nm, markers0.dtype)
+
+            def stepf(carry, k):
+                X, mk, last_d = carry
+                t = t_start + k * dt
+                d0 = jnp.where(k > 0, extrapolation_factor * last_d, 0.0)
+                d, Xn, rn, it = gn_step(X, mk, d0, t)
+                normals = polyline_normals(mk)
+                mk_new = resample_markers(mk + d[:, None] * normals)
+                return (Xn, mk_new, d), (mk_new, rn, it)
+
+            (Xf, mkf, _), (mk_log, rns, its) = jax.lax.scan(
+                stepf, (u0, markers0, d_zero), jnp.arange(K + 1.0))
+            return Xf, mkf, mk_log, rns, its
+
+        Xf, mkf, mk_log, rns, its = run(self.u0, front.markers)
+        self.x = Xf
+        self.markers = mkf
+        self.marker_log = np.asarray(mk_log)
+        self.residual_log = np.asarray(rns)
+        self.iters_log = np.asarray(its)
+        self.states = [Xf]
         front.markers = mkf
         return self.x

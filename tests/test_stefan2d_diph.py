@@ -1,0 +1,68 @@
+"""Two-phase 2D Stefan front tracking: Frank-disk growth with a conducting
+second phase (solid at uniform Tm conducts nothing, so the result must stay
+close to the one-phase Frank solution)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.special import exp1
+
+import penguin_tpu as pt
+from penguin_tpu.front_tracking import FrontTracker
+from penguin_tpu.solvers.stefan2d import StefanDiph2D
+
+
+@pytest.mark.slow
+def test_frank_disk_diphasic():
+    S = 1.0
+    St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
+    T_inf = -St
+    rhoL = 1.0
+
+    L, center = 8.0, (4.0, 4.0)
+    nx = ny = 32
+    mesh = pt.Mesh((nx, ny), (L, L), (0.0, 0.0))
+    t0 = 1.0
+    dt = 0.02
+    R0 = S * np.sqrt(t0)
+
+    front = FrontTracker().create_circle(center, R0, n=32)
+    # phase 1 = solid disk (interior, at Tm = 0); phase 2 = undercooled liquid
+    body1 = lambda x, y: front.sdf(x, y)
+    body2 = lambda x, y: -front.sdf(x, y)
+    cap1 = pt.compute_capacity(body1, mesh, p=4, s=1)
+    cap2 = pt.compute_capacity(body2, mesh, p=4, s=1)
+    ph1 = pt.Phase(cap1, pt.make_diffusion_ops(cap1), lambda x, y, z, t: 0.0, 1.0)
+    ph2 = pt.Phase(cap2, pt.make_diffusion_ops(cap2), lambda x, y, z, t: 0.0, 1.0)
+
+    C = np.asarray(cap2.C_om)
+    r = np.sqrt((C[..., 0] - center[0]) ** 2 + (C[..., 1] - center[1]) ** 2)
+    s_ = r / np.sqrt(t0)
+    T2w = jnp.asarray(np.where(
+        s_ >= S,
+        T_inf * (1 - exp1(np.maximum(s_**2 / 4, 1e-12)) / exp1(S**2 / 4)),
+        0.0,
+    ))
+    z = jnp.zeros(mesh.np_shape)
+    u0 = (z, z, T2w, z)
+
+    bc_b = pt.BorderConditions({k: pt.Dirichlet(float(T_inf))
+                                for k in ("left", "right", "top", "bottom")})
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, rhoL))
+
+    solver = StefanDiph2D(ph1, ph2, bc_b, ic, dt, u0, mesh, "BE")
+    solver.solve(front, 0.0, 0.1 - dt / 2,
+                 newton_params=(10, 1e-4, 1e-6, 1.0),
+                 interior_phase1=True, latent_sign=-1.0,
+                 smooth_window=7, smooth_passes=2,
+                 extrapolation_factor=0.5, p=4, s=1)
+
+    mk = np.asarray(solver.markers)
+    radii = np.sqrt((mk[:, 0] - center[0]) ** 2 + (mk[:, 1] - center[1]) ** 2)
+    n_solves = solver.residual_log.shape[0]
+    t_eff = t0 + n_solves * dt
+    R_exact = S * np.sqrt(t_eff)
+    assert radii.mean() > R0 + 0.005
+    assert radii.std() / radii.mean() < 0.05
+    assert abs(radii.mean() - R_exact) / R_exact < 0.06, (radii.mean(), R_exact)
