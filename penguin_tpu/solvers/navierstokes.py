@@ -125,6 +125,70 @@ class NavierStokesMono(StokesMono):
         return self.x
 
     # ------------------------------------------------------------------
+    # unsteady: fully implicit Picard convection
+    # ------------------------------------------------------------------
+    def solve_unsteady_picard(self, dt, t_end, scheme="BE", picard_iters=4,
+                              picard_tol=1e-9, method="lstsq", x0=None,
+                              verbose=False):
+        """θ-scheme with implicit (Picard-linearized) convection per step
+        (assemble_navierstokes2D_unsteady_picard, navierstokes.jl:840-1066).
+        """
+        theta = 0.5 if scheme in ("CN", "cn") else 1.0
+        base_rhs = self.make_unsteady_rhs(dt, theta)
+        rho = self.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        N = self.N
+        x = x0 if x0 is not None else self.zero_state()
+        n_steps = int(np.ceil(t_end / dt - 1e-12))
+        from ..linsolve import solve_linear
+
+        for k in range(n_steps):
+            t = k * dt
+            b = base_rhs(x, t, t + dt)
+            x_it = x
+            for it in range(picard_iters):
+                uws_k = x_it[0:2 * N:2]
+                ugs_k = x_it[1:2 * N:2]
+                Kws = [self.conv_K(d, ugs_k) for d in range(N)]
+
+                def apply(v):
+                    uws = v[0:2 * N:2]
+                    ugs = v[1:2 * N:2]
+                    p = v[2 * N]
+                    out = []
+                    for d in range(N):
+                        mass = self.rho_diag[d] * self.fluid.operator_u[d].V / dt
+                        yw = (
+                            mass * uws[d]
+                            + theta * self._visc(d, uws[d], ugs[d])
+                            + theta * rho_val * self.conv_bulk(d, uws_k, uws[d])
+                            - 0.5 * theta * rho_val * Kws[d] * uws[d]
+                            + self._grad(d, p)
+                        )
+                        yw = jnp.where(self.u_active[d], yw, uws[d])
+                        yg = ugs[d]
+                        yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
+                        out += [yw, yg]
+                    from .stokes import stokes_divergence
+
+                    yp = stokes_divergence(self.fluid, uws, ugs)
+                    yp = jnp.where(self.p_active, yp, p)
+                    yp = self._gauge_fix(yp, p)
+                    return tuple(out) + (yp,)
+
+                x_new = solve_linear(apply, b, method=method)
+                diff = max(float(jnp.abs(a - c).max())
+                           for a, c in zip(x_new, x_it))
+                x_it = x_new
+                if verbose:
+                    print(f"step {k} picard {it}: {diff:.2e}")
+                if diff < picard_tol:
+                    break
+            x = x_it
+        self.x = x
+        return self.x
+
+    # ------------------------------------------------------------------
     # diagnostics: reaction forces on the cut boundary
     # ------------------------------------------------------------------
     def force_diagnostics(self, x=None):

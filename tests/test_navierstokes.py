@@ -130,3 +130,32 @@ def test_lid_cavity_newton_matches_picard():
         a = np.asarray(s1.velocity(d))[:n, :n]
         b = np.asarray(s2.velocity(d))[:n, :n]
         assert np.abs(a - b).max() < 1e-6
+
+
+@pytest.mark.slow
+def test_unsteady_picard_matches_ab2_small_dt():
+    """Implicit-Picard convection must agree with AB2 extrapolation for
+    small dt on a short Taylor-Green run."""
+    n = 12
+    nu = 1.0
+    fluid, (mesh_ux, mesh_uy) = _tg_fluid(n, mu=nu)
+    ue, ve = _tg_exact(nu)
+    bcs = lambda f: pt.BorderConditions({
+        k: pt.Dirichlet(f) for k in ("left", "right", "bottom", "top")})
+    bc_ux = bcs(lambda x, y, z, t: -jnp.cos(x) * jnp.sin(y) * jnp.exp(-2 * nu * t))
+    bc_uy = bcs(lambda x, y, z, t: jnp.sin(x) * jnp.cos(y) * jnp.exp(-2 * nu * t))
+    Xux, Yux = np.meshgrid(np.asarray(mesh_ux.nodes[0]),
+                           np.asarray(mesh_ux.nodes[1]), indexing="ij")
+    Xuy, Yuy = np.meshgrid(np.asarray(mesh_uy.nodes[0]),
+                           np.asarray(mesh_uy.nodes[1]), indexing="ij")
+    x0 = (jnp.asarray(ue(Xux, Yux, 0.0)), jnp.asarray(ue(Xux, Yux, 0.0)),
+          jnp.asarray(ve(Xuy, Yuy, 0.0)), jnp.asarray(ve(Xuy, Yuy, 0.0)),
+          jnp.zeros(fluid.capacity_p.V.shape))
+    dt, t_end = 1e-3, 5e-3
+    s1 = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(), pt.Dirichlet(0.0))
+    s1.solve_unsteady(dt, t_end, scheme="BE", method="direct", x0=x0)
+    s2 = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(), pt.Dirichlet(0.0))
+    s2.solve_unsteady_picard(dt, t_end, scheme="BE", picard_iters=4, x0=x0)
+    a = np.asarray(s1.velocity(0))[:n, :n]
+    b = np.asarray(s2.velocity(0))[:n, :n]
+    assert np.abs(a - b).max() < 2e-3
