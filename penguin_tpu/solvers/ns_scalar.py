@@ -34,7 +34,8 @@ from ..assembly import (
 from ..linsolve import solve_linear
 from ..operators import make_convection_ops
 
-__all__ = ["PassiveCoupling", "PicardCoupling", "NavierStokesScalarCoupler"]
+__all__ = ["PassiveCoupling", "PicardCoupling", "MonolithicCoupling",
+           "NavierStokesScalarCoupler"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,17 @@ class PicardCoupling:
     tol_U: float = 1e-6
     maxiter: int = 5
     relaxation: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MonolithicCoupling:
+    """Fully coupled Newton over (u, p, T) per step with the exact autodiff
+    Jacobian (the reference hand-assembles it,
+    navierstokes_scalar_coupling.jl:29-44)."""
+
+    tol: float = 1e-9
+    maxiter: int = 8
+    damping: float = 1.0
 
 
 def _nearest_map(src_coords, dst_coords):
@@ -157,9 +169,101 @@ class NavierStokesScalarCoupler:
         b = rhs_fn(self.T, t)
         return solve_linear(apply_fn, b, method=self.method)
 
+    # -- fully coupled Newton step ---------------------------------------
+    def _monolithic_step(self, dt, scheme, st):
+        """One implicit step of the coupled (u, p, T) system solved by
+        Newton with an exact autodiff Jacobian."""
+        from jax.flatten_util import ravel_pytree
+
+        theta = 0.5 if scheme == "CN" else 1.0
+        mom = self.momentum
+        t = self.time
+        rho = mom.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        N = 2
+        mom_rhs = mom.make_unsteady_rhs(dt, theta)
+        x_prev, T_prev = self.x, self.T
+
+        # scalar implicit blocks depend on u -> build residual directly
+        from ..assembly import (
+            border_info as _binfo,
+            build_I_bc as _bic,
+            coefficient_diag as _cdiag,
+            mono_apply_fn as _mapply,
+            mono_rhs_fn as _mrhs,
+            scalar_masks as _smasks,
+        )
+
+        cap, opsT = self.cap_T, self.ops_T
+        ia, ib = _bic(self.bc_T_cut)
+        Id = _cdiag(self.kappa, cap)
+
+        def residual(z):
+            xv = z[: 2 * N + 1]
+            Tv = z[2 * N + 1:]
+            # momentum residual with implicit convection + buoyancy at (u,T)
+            conv_c = mom.conv_vectors(xv)
+            extra = []
+            for d in range(N):
+                term = -rho_val * conv_c[d]
+                if self.beta != 0.0 and self.gravity[d] != 0.0:
+                    T_on_u = _gather2d(Tv[0], self._T_to_u[d])
+                    Vd = mom.fluid.operator_u[d].V
+                    term = term - rho_val * self.beta * self.gravity[d] * Vd * (
+                        T_on_u - self.T_ref
+                    )
+                extra.append(term)
+            b_mom = mom_rhs(x_prev, t, t + dt, extra_mom=tuple(extra))
+            A_mom = mom.make_unsteady_apply(dt, theta)(xv)
+            r_mom = tuple(a - bb for a, bb in zip(A_mom, b_mom))
+            # scalar residual with convection from u
+            u_onT = tuple(_gather2d(xv[2 * d], self._u_to_T[d]) for d in range(N))
+            ug_onT = tuple(
+                _gather2d(xv[2 * d + 1], self._u_to_T[d]) for d in range(N)
+            )
+            conv = make_convection_ops(cap, u_onT, ug_onT)
+            masks = _smasks(conv, cap.Gamma, ia, ib, steady=False, conv=conv)
+            border = _binfo(cap.mesh, self.bc_T)
+            aT = _mapply(conv, Id, cap.Gamma, ia, ib, dt=dt, scheme=scheme,
+                         border=border, masks=masks, conv=conv)
+            bT = _mrhs(conv, Id, cap.Gamma, ia, ib, cap, self.source_T,
+                       self.bc_T_cut, dt=dt, scheme=scheme, border=border,
+                       masks=masks, conv=conv)(T_prev, t)
+            AT = aT(Tv)
+            r_T = tuple(a - bb for a, bb in zip(AT, bT))
+            return r_mom + r_T
+
+        z0 = tuple(x_prev) + tuple(T_prev)
+        flat, unravel = ravel_pytree(z0)
+
+        def R(v):
+            return ravel_pytree(residual(unravel(v)))[0]
+
+        import jax as _jax
+
+        jac = _jax.jit(_jax.jacfwd(R))
+        Rj = _jax.jit(R)
+        for it in range(st.maxiter):
+            r = Rj(flat)
+            rn = float(jnp.linalg.norm(r))
+            if rn < st.tol:
+                break
+            J = jac(flat)
+            delta, *_ = jnp.linalg.lstsq(J, r, rcond=1e-12)
+            flat = flat - st.damping * delta
+        z = unravel(flat)
+        self.x = tuple(z[: 2 * N + 1])
+        self.T = tuple(z[2 * N + 1:])
+        self.conv_prev = None
+
     def step(self, dt, scheme="BE"):
         theta = 0.5 if scheme == "CN" else 1.0
         t = self.time
+        if isinstance(self.strategy, MonolithicCoupling):
+            self._monolithic_step(dt, scheme, self.strategy)
+            self.time += dt
+            self.states.append((self.time, self.x, self.T))
+            return self.x, self.T
         if isinstance(self.strategy, PicardCoupling):
             st = self.strategy
             x_it, T_it = self.x, self.T

@@ -93,3 +93,55 @@ def test_buoyant_cavity_coupling():
     right_col = uy[n - 4:n - 1, 1:n - 1].mean()
     assert left_col > 0 and right_col < 0, (left_col, right_col)
     assert np.abs(uy).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_monolithic_coupling_matches_picard():
+    """One monolithic Newton step must agree with tightly converged Picard
+    on the buoyant cavity."""
+    from penguin_tpu.solvers.ns_scalar import MonolithicCoupling
+
+    n = 10
+    L = 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]), pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1e-2, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    noslip = pt.Dirichlet(0.0)
+    bc_wall = pt.BorderConditions({k: noslip
+                                   for k in ("left", "right", "bottom", "top")})
+    bc_T = pt.BorderConditions({"left": pt.Dirichlet(1.0), "right": pt.Dirichlet(0.0)})
+    C = np.asarray(caps[2].C_om)
+    T0w = jnp.asarray(np.clip(1.0 - C[..., 0], 0.0, 1.0) * (np.asarray(caps[2].V) > 0))
+
+    def make(strategy):
+        mom = NavierStokesMono(fluid, (bc_wall, bc_wall), PinPressureGauge(),
+                               pt.Dirichlet(0.0))
+        return NavierStokesScalarCoupler(
+            mom, caps[2], fluid.operator_p, kappa=1e-2,
+            scalar_source=lambda x, y, z, t: 0.0,
+            bc_scalar=bc_T, bc_scalar_cut=pt.Dirichlet(0.0),
+            strategy=strategy, beta=10.0, gravity=(0.0, -1.0),
+            T_ref=0.0, T0=(T0w, T0w),
+        )
+
+    c1 = make(PicardCoupling(tol_T=1e-12, tol_U=1e-12, maxiter=30))
+    c1.step(0.01)
+    c2 = make(MonolithicCoupling(tol=1e-11, maxiter=10))
+    c2.step(0.01)
+    # the couplings differ at O(dt * du) (explicit vs implicit convection
+    # within the step); fields must agree to that order
+    for a, b in zip(c1.x, c2.x):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
+    assert np.abs(np.asarray(c1.T[0]) - np.asarray(c2.T[0])).max() < 5e-3
