@@ -34,8 +34,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..assembly import coefficient_diag, eval_condition_value, _col_G_nz
-from ..boundary import Dirichlet, Neumann, Outflow, Periodic, Symmetry
+from ..assembly import (
+    coefficient_diag,
+    eval_condition_value,
+    _col_G_nz,
+    _col_H_nz,
+)
+from ..boundary import Dirichlet, Neumann, Outflow, Periodic, Symmetry, Traction
 from ..linsolve import DenseFactorSolver, solve_linear
 from ..operators import dm, dm_t, _zlast, _shift_p, _shift_m
 
@@ -184,6 +189,16 @@ class StokesMono:
         self.p_active = jnp.asarray(
             _col_G_nz(fluid.operator_p) | (fluid.operator_p.V != 0)
         )
+        # Traction cut-BC: the uγ tie rows become traction-balance rows
+        # (the reference's traction test expects
+        # [Iμ HᵀWꜝG, Iμ HᵀWꜝH, -Hp] rows, test/solver/traction_test.jl;
+        # its own assembly helper is absent from src, so this implements
+        # the documented row)
+        self.traction = isinstance(self.bc_cut, Traction)
+        if self.traction:
+            self.trac_active = tuple(
+                jnp.asarray(_col_H_nz(fluid.operator_u[d])) for d in range(N)
+            )
         # pressure gauge bookkeeping (static)
         Vp = np.asarray(fluid.capacity_p.V)
         if isinstance(self.gauge, PinPressureGauge):
@@ -205,6 +220,20 @@ class StokesMono:
             self.pin_mask = None
 
     # ------------------------------------------------------------------
+    def _traction_row(self, d, uw, ug, p):
+        ops = self.fluid.operator_u[d]
+        q = ops.flux(uw, ug)
+        visc_trac = self.mu_diag[d] * ops.HT(q)
+        opp = self.fluid.operator_p
+        hp = opp.A[d] * dm(p, d) - dm(opp.B[d] * p, d)
+        return visc_trac - hp
+
+    def _tie_or_traction(self, d, uw, ug, p):
+        if not self.traction:
+            return ug
+        row = self._traction_row(d, uw, ug, p)
+        return jnp.where(self.trac_active[d], row, ug)
+
     def _visc(self, d, uw, ug):
         ops = self.fluid.operator_u[d]
         q = ops.flux(uw, ug)
@@ -237,7 +266,7 @@ class StokesMono:
         for d in range(N):
             yw = self._visc(d, uws[d], ugs[d]) + self._grad(d, p)
             yw = jnp.where(self.u_active[d], yw, uws[d])
-            yg = ugs[d]  # tie rows
+            yg = self._tie_or_traction(d, uws[d], ugs[d], p)
             yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
             out += [yw, yg]
         yp = stokes_divergence(self.fluid, uws, ugs)
@@ -258,6 +287,8 @@ class StokesMono:
             Cg = cap.C_ga
             gco = [Cg[..., i] for i in range(Cg.shape[-1])]
             bg = eval_condition_value(self.bc_cut.value, gco, t)
+            if self.traction:
+                bg = jnp.where(self.trac_active[d], bg, 0.0)
             bw = jnp.where(self.u_active[d], bw, 0.0)
             bw, bg = self.borders[d].rhs(bw, bg, t)
             out += [bw, bg]
@@ -281,7 +312,7 @@ class StokesMono:
                     + self._grad(d, p)
                 )
                 yw = jnp.where(self.u_active[d], yw, uws[d])
-                yg = ugs[d]
+                yg = self._tie_or_traction(d, uws[d], ugs[d], p)
                 yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
                 out += [yw, yg]
             yp = stokes_divergence(self.fluid, uws, ugs)
@@ -314,6 +345,8 @@ class StokesMono:
                 Cg = cap.C_ga
                 gco = [Cg[..., i] for i in range(Cg.shape[-1])]
                 bg = eval_condition_value(self.bc_cut.value, gco, t_next)
+                if self.traction:
+                    bg = jnp.where(self.trac_active[d], bg, 0.0)
                 bw, bg = self.borders[d].rhs(bw, bg, t_next)
                 out += [bw, bg]
             bp = jnp.zeros_like(self.fluid.capacity_p.V)
