@@ -61,10 +61,41 @@ def interface_flux_1d(cap_st, D, Tw, Tg):
     return jnp.sum(Id * ops.HT(q)), Va, Vb
 
 
-def _lr_step(strategy, alpha, res, xf_b, prev_xf, prev_grad, it, eps=1e-8):
-    """Learning-rate strategies (diffusion.jl:43-122), jax-traceable."""
+def lr_state_init(dtype):
+    """(grad_accum, mean_grad_sq, m, v) accumulators (LearningRateState,
+    diffusion.jl:3-41)."""
+    z = jnp.asarray(0.0, dtype)
+    return (z, z, z, z)
+
+
+def _lr_step(strategy, alpha, res, xf_b, prev_xf, prev_grad, it,
+             lr_state=None, eps=1e-8, beta1=0.9, beta2=0.999):
+    """Learning-rate strategies (apply_learning_rate_step!,
+    diffusion.jl:43-122), jax-traceable.  Returns (step, new_lr_state)."""
+    if lr_state is None:
+        lr_state = lr_state_init(jnp.asarray(res).dtype)
+    accum, msq, m, v = lr_state
     if strategy == "fixed":
-        return alpha * res
+        return alpha * res, lr_state
+    if strategy == "adagrad":
+        accum = accum + res * res
+        lr = alpha / (jnp.sqrt(accum) + eps)
+        return lr * res, (accum, msq, m, v)
+    if strategy == "rmsprop":
+        msq = beta2 * msq + (1 - beta2) * res * res
+        lr = alpha / (jnp.sqrt(msq) + eps)
+        return lr * res, (accum, msq, m, v)
+    if strategy == "nadam":
+        tt = it + 1.0
+        m = beta1 * m + (1 - beta1) * res
+        v = beta2 * v + (1 - beta2) * res * res
+        bc1 = jnp.maximum(1 - beta1**tt, eps)
+        bc2 = jnp.maximum(1 - beta2**tt, eps)
+        m_hat = m / bc1
+        v_hat = v / bc2
+        lr = alpha / (jnp.sqrt(v_hat) + eps)
+        direction = beta1 * m_hat + (1 - beta1) * res / bc1
+        return lr * direction, (accum, msq, m, v)
     dx = xf_b - prev_xf
     dg = res - prev_grad
     have_prev = it > 0
@@ -73,10 +104,11 @@ def _lr_step(strategy, alpha, res, xf_b, prev_xf, prev_grad, it, eps=1e-8):
         lr = jnp.where(denom > 0, jnp.abs(dx * dg) / jnp.maximum(denom, 1e-300),
                        alpha)
         lr = jnp.where(have_prev, lr, alpha)
-        return lr * res
+        return lr * res, lr_state
     if strategy == "secant":
         prop = -res * dx / jnp.where(jnp.abs(dg) > eps, dg, 1.0)
-        return jnp.where(have_prev & (jnp.abs(dg) > eps), prop, alpha * res)
+        return jnp.where(have_prev & (jnp.abs(dg) > eps), prop, alpha * res), \
+            lr_state
     raise ValueError(f"unknown learning-rate strategy {strategy}")
 
 
@@ -119,18 +151,20 @@ class MovingLiquidDiffusionUnsteadyMono(_ScalarSolverBase):
 
         def newton(Told, xf_start, t):
             def cond(st):
-                T, xf_b, pxf, pg, err, it = st
+                T, xf_b, pxf, pg, lrs, err, it = st
                 return (it < max_iter) & (err > tol) & (err > reltol * jnp.abs(xf_b))
 
             def body(st):
-                T, xf_b, pxf, pg, err, it = st
+                T, xf_b, pxf, pg, lrs, err, it = st
                 Tn, res = slab_solve(Told, xf_start, xf_b, t)
-                step = _lr_step(lr_strategy, alpha, res, xf_b, pxf, pg, it)
-                return (Tn, xf_b + step, xf_b, res, jnp.abs(res), it + 1)
+                step, lrs = _lr_step(lr_strategy, alpha, res, xf_b, pxf, pg,
+                                     it, lrs)
+                return (Tn, xf_b + step, xf_b, res, lrs, jnp.abs(res), it + 1)
 
             init = (Told, xf_start, xf_start, jnp.asarray(0.0, xf_start.dtype),
+                    lr_state_init(xf_start.dtype),
                     jnp.asarray(jnp.inf, xf_start.dtype), 0)
-            T, xf_b, _, _, err, it = jax.lax.while_loop(cond, body, init)
+            T, xf_b, _, _, _, err, it = jax.lax.while_loop(cond, body, init)
             return T, xf_b, err, it
 
         @jax.jit
@@ -155,6 +189,18 @@ class MovingLiquidDiffusionUnsteadyMono(_ScalarSolverBase):
         self.newton_iters = np.asarray(iters)
         self.states = [Tf]
         return self.x
+
+
+def _adaptive_dt(v_max, h_min, cfl_target, dt_cur, dt_min, dt_max,
+                 growth=1.1, shrink=0.8, safety=0.9):
+    """jax version of the interface-CFL controller (utils.adapt_timestep)."""
+    dt_opt = safety * cfl_target * h_min / jnp.maximum(v_max, 1e-10)
+    dt_new = jnp.where(dt_opt > dt_cur,
+                       jnp.minimum(dt_opt, dt_cur * growth),
+                       jnp.maximum(dt_opt, dt_cur * shrink))
+    dt_new = jnp.where(v_max < 1e-10, jnp.minimum(dt_cur * growth, dt_max),
+                       dt_new)
+    return jnp.clip(dt_new, dt_min, dt_max)
 
 
 class MovingLiquidDiffusionUnsteadyDiph(_ScalarSolverBase):
@@ -210,19 +256,21 @@ class MovingLiquidDiffusionUnsteadyDiph(_ScalarSolverBase):
 
         def newton(Told, xf_start, t):
             def cond(st):
-                X, xf_b, pxf, pg, err, it = st
+                X, xf_b, pxf, pg, lrs, err, it = st
                 return (it < max_iter) & (err > tol) & (err > reltol * jnp.abs(xf_b))
 
             def body(st):
-                X, xf_b, pxf, pg, err, it = st
+                X, xf_b, pxf, pg, lrs, err, it = st
                 Xn, res = slab_solve(Told, xf_start, xf_b, t)
-                step = _lr_step(lr_strategy, alpha, res, xf_b, pxf, pg, it)
-                return (Xn, xf_b + step, xf_b, res, jnp.abs(res), it + 1)
+                step, lrs = _lr_step(lr_strategy, alpha, res, xf_b, pxf, pg,
+                                     it, lrs)
+                return (Xn, xf_b + step, xf_b, res, lrs, jnp.abs(res), it + 1)
 
             init = (Told, xf_start, xf_start,
                     jnp.asarray(0.0, xf_start.dtype),
+                    lr_state_init(xf_start.dtype),
                     jnp.asarray(jnp.inf, xf_start.dtype), 0)
-            X, xf_b, _, _, err, it = jax.lax.while_loop(cond, body, init)
+            X, xf_b, _, _, _, err, it = jax.lax.while_loop(cond, body, init)
             return X, xf_b, err, it
 
         @jax.jit
@@ -247,6 +295,81 @@ class MovingLiquidDiffusionUnsteadyDiph(_ScalarSolverBase):
         self.newton_iters = np.asarray(iters)
         self.states = [Xf]
         return self.x
+
+
+def solve_stefan_1d_adaptive(solver, xf0, t_start, t_end, ic,
+                             newton_params=(200, 1e-10, 1e-10, 1.0),
+                             cfl_target=0.5, dt_min=1e-6, dt_max=0.1,
+                             max_steps=500, lr_strategy="fixed", p=6, s=1):
+    """Adaptive-Δt driver for MovingLiquidDiffusionUnsteadyMono (reference
+    adaptive_timestep path, liquidmotionsolver/diffusion.jl:309-333): the
+    slab width is a traced carry; Δt adapts to the interface CFL."""
+    from .moving_diffusion import build_moving_mono_system
+
+    mesh = solver.mesh
+    max_iter, tol, reltol, alpha = newton_params
+    max_iter = int(max_iter)
+    rhoL = ic.flux.value
+    D, f = solver.phase.diffusion, solver.phase.source
+    bc_i, border, scheme = solver.bc_i, solver.border, solver.scheme
+    h_min = min(mesh.h)
+
+    def slab_solve(Told, xf_a, xf_b, t, dt):
+        cap = compute_capacity_spacetime(
+            _interp_body_1d, mesh, 0.0, dt, p=p, s=s,
+            params=(xf_a, xf_b, dt))
+        apply_fn, rhs_fn = build_moving_mono_system(
+            cap, D, f, bc_i, border, t, dt, scheme)
+        T = _direct_solve(apply_fn, rhs_fn(Told))
+        flux, Va, Vb = interface_flux_1d(cap, D, T[0], T[1])
+        res = jnp.sum(Va) - jnp.sum(Vb) - flux / rhoL
+        return T, res
+
+    def newton(Told, xf_start, t, dt):
+        def cond(st):
+            T, xf_b, pxf, pg, lrs, err, it = st
+            return (it < max_iter) & (err > tol)
+
+        def body(st):
+            T, xf_b, pxf, pg, lrs, err, it = st
+            Tn, res = slab_solve(Told, xf_start, xf_b, t, dt)
+            step, lrs = _lr_step(lr_strategy, alpha, res, xf_b, pxf, pg, it, lrs)
+            return (Tn, xf_b + step, xf_b, res, lrs, jnp.abs(res), it + 1)
+
+        init = (Told, xf_start, xf_start, jnp.asarray(0.0, xf_start.dtype),
+                lr_state_init(xf_start.dtype),
+                jnp.asarray(jnp.inf, xf_start.dtype), 0)
+        T, xf_b, *_ = jax.lax.while_loop(cond, body, init)
+        return T, xf_b
+
+    dtype = solver.u0[0].dtype
+    dt0 = jnp.asarray(solver.dt, dtype)
+
+    @jax.jit
+    def run(u0, xf0_):
+        def cond(st):
+            T, xf, t, dt, k = st
+            return (t < t_end - 1e-12) & (k < max_steps)
+
+        def body(st):
+            T, xf, t, dt, k = st
+            dt_c = jnp.minimum(dt, t_end - t)
+            Tn, xfn = newton(T, xf, t, dt_c)
+            v = jnp.abs(xfn - xf) / dt_c
+            dt_n = _adaptive_dt(v, h_min, cfl_target, dt_c, dt_min, dt_max)
+            return (Tn, xfn, t + dt_c, dt_n, k + 1)
+
+        return jax.lax.while_loop(
+            cond, body,
+            (u0, jnp.asarray(xf0_, dtype), jnp.asarray(t_start, dtype), dt0, 0),
+        )
+
+    T, xf, t, dt, k = run(solver.u0, xf0)
+    solver.x = T
+    solver.xf = float(xf)
+    solver.t_final = float(t)
+    solver.n_steps = int(k)
+    return solver.x
 
 
 def find_lambda_stefan(stefan_number, x0=0.1):

@@ -59,3 +59,67 @@ def test_stefan_1d_front_tracks_analytic():
     assert err < 0.02, (solver.xf, s_exact)
     # Newton converged everywhere
     assert solver.newton_errs.max() < 1e-8
+
+
+def test_stefan_1d_lr_strategies():
+    """BB and rmsprop learning-rate strategies converge to the same front."""
+    from penguin_tpu.solvers.stefan1d import MovingLiquidDiffusionUnsteadyMono
+
+    T0, k = 1.0, 1.0
+    lam = find_lambda_stefan(1.0)
+    nx, lx = 48, 2.0
+    mesh = pt.Mesh((nx,), (lx,), (0.0,))
+    dt = 2e-3
+    t_start = 0.05
+    xf0 = stefan_interface_position(t_start, k, lam)
+    cap0 = pt.compute_capacity(pt.geometry.halfspace(0, xf0), mesh)
+    Cc = np.asarray(cap0.C_om[..., 0])
+    Tw0 = jnp.asarray(np.maximum(
+        T0 - T0 / erf(lam) * erf(Cc / (2 * np.sqrt(k * t_start))), 0.0))
+    phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                     lambda x, y, z, t: 0.0, k)
+    bc_b = pt.BorderConditions({"bottom": pt.Dirichlet(T0), "top": pt.Dirichlet(0.0)})
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, 1.0))
+    fronts = {}
+    for strat in ("fixed", "bb"):
+        s = MovingLiquidDiffusionUnsteadyMono(
+            phase, bc_b, pt.Dirichlet(0.0), dt,
+            (Tw0, jnp.zeros(mesh.np_shape)), mesh, "BE")
+        s.solve(xf0, t_start, t_start + 3.5 * dt, ic,
+                newton_params=(100, 1e-10, 1e-10, 1.0), lr_strategy=strat)
+        fronts[strat] = s.xf
+    assert abs(fronts["fixed"] - fronts["bb"]) < 1e-6
+
+
+def test_stefan_1d_adaptive_dt():
+    from penguin_tpu.solvers.stefan1d import (
+        MovingLiquidDiffusionUnsteadyMono,
+        solve_stefan_1d_adaptive,
+    )
+
+    T0, k = 1.0, 1.0
+    lam = find_lambda_stefan(1.0)
+    nx, lx = 48, 2.0
+    mesh = pt.Mesh((nx,), (lx,), (0.0,))
+    t_start, t_end = 0.05, 0.08
+    xf0 = stefan_interface_position(t_start, k, lam)
+    cap0 = pt.compute_capacity(pt.geometry.halfspace(0, xf0), mesh)
+    Cc = np.asarray(cap0.C_om[..., 0])
+    Tw0 = jnp.asarray(np.maximum(
+        T0 - T0 / erf(lam) * erf(Cc / (2 * np.sqrt(k * t_start))), 0.0))
+    phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                     lambda x, y, z, t: 0.0, k)
+    bc_b = pt.BorderConditions({"bottom": pt.Dirichlet(T0), "top": pt.Dirichlet(0.0)})
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, 1.0))
+    s = MovingLiquidDiffusionUnsteadyMono(
+        phase, bc_b, pt.Dirichlet(0.0), 5e-4,
+        (Tw0, jnp.zeros(mesh.np_shape)), mesh, "BE")
+    solve_stefan_1d_adaptive(s, xf0, t_start, t_end, ic,
+                             newton_params=(100, 1e-10, 1e-10, 1.0),
+                             cfl_target=0.4, dt_min=1e-5, dt_max=5e-3,
+                             max_steps=300)
+    assert abs(s.t_final - t_end) < 1e-9
+    xf_exact = stefan_interface_position(t_end, k, lam)
+    assert abs(s.xf - xf_exact) < 0.03, (s.xf, xf_exact)
