@@ -100,3 +100,64 @@ def test_moving_advdiff_zero_velocity_matches_diffusion():
 
     sel = np.asarray(cap.cell_types) != 0
     assert np.abs(np.asarray(adv.x[0]) - np.asarray(ref.x[0]))[sel].max() < 1e-10
+
+
+def test_moving_diph_static_body_matches_static_solver():
+    """Static-body space-time diphasic system == static DiffusionUnsteadyDiph."""
+    from penguin_tpu.solvers import DiffusionUnsteadyDiph
+    from penguin_tpu.solvers.moving_diffusion import MovingDiffusionUnsteadyDiph
+
+    nx, lx = 40, 8.0
+    xint = 4.0
+    mesh = pt.Mesh((nx,), (lx,), (0.0,))
+    body = pt.geometry.halfspace(0, xint)
+    body_c = pt.geometry.halfspace(0, xint, -1.0)
+    body_st = lambda x, t: body(x)
+    body_c_st = lambda x, t: body_c(x)
+    cap1 = pt.compute_capacity(body, mesh)
+    cap2 = pt.compute_capacity(body_c, mesh)
+    ph1 = pt.Phase(cap1, pt.make_diffusion_ops(cap1), lambda x, y, z, t: 0.0, 1.0)
+    ph2 = pt.Phase(cap2, pt.make_diffusion_ops(cap2), lambda x, y, z, t: 0.0, 1.0)
+    bc_b = pt.BorderConditions({"top": pt.Dirichlet(1.0), "bottom": pt.Dirichlet(0.0)})
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 0.5, 0.0),
+                                pt.FluxJump(1.0, 1.0, 0.0))
+    z = jnp.zeros(mesh.np_shape)
+    o = jnp.ones(mesh.np_shape)
+    u0 = (z, z, o, o)
+    dt = 0.5 * (lx / nx) ** 2
+    t_end = 6.5 * dt
+
+    ref = DiffusionUnsteadyDiph(ph1, ph2, bc_b, ic, dt, u0, "BE")
+    ref.solve(t_end, method="direct")
+
+    mov = MovingDiffusionUnsteadyDiph(ph1, ph2, bc_b, ic, dt, u0, mesh, "BE")
+    mov.solve(body_st, body_c_st, 0.0, t_end, method="direct", p=8, s=2)
+
+    for i in (0, 2):
+        ct = np.asarray((cap1 if i == 0 else cap2).cell_types)
+        sel = ct != 0
+        a = np.asarray(mov.x[i])[sel]
+        b = np.asarray(ref.x[i])[sel]
+        assert np.abs(a - b).max() < 1e-7, (i, np.abs(a - b).max())
+
+
+def test_volume_redefinition_1d():
+    from penguin_tpu.utils import volume_redefinition
+
+    mesh = pt.Mesh((32,), (4.0,), (0.0,))
+    cap = pt.compute_capacity(pt.geometry.interval(2.0, 1.0), mesh)
+    ops = pt.make_diffusion_ops(cap)
+    cap2 = volume_redefinition(cap, ops)
+    V1 = np.asarray(cap.V)
+    V2 = np.asarray(cap2.V)
+    ct = np.asarray(cap.cell_types)
+    full = ct == 1
+    # the correction only touches cells near the interface: interior full
+    # cells (not adjacent to a cut cell) keep their volumes exactly
+    cut = ct == -1
+    near_cut = np.convolve(cut.astype(float), np.ones(3), mode="same") > 0
+    sel = full & ~near_cut
+    sel[0] = sel[-2] = False  # skip domain-edge closure cells
+    assert np.abs(V1[sel] - V2[sel]).max() < 1e-10
+    # cut cells keep a consistent (positive, bounded) volume
+    assert (V2[cut] > 0).all() and (V2[cut] <= V1.max() + 1e-12).all()
