@@ -8,6 +8,9 @@ u = 1 - e^{λx} cos(2πy),  v = (λ/2π) e^{λx} sin(2πy),
 Run:  python benchmarks/kovasznay.py
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))) if "examples" in __file__ else _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

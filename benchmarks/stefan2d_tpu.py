@@ -1,0 +1,68 @@
+"""2D front-tracking Stefan step timing on TPU (the flagship moving-
+interface configuration, f32): measures ms per GN iteration — a full slab
+geometry rebuild + temperature solve + autodiff volume Jacobian + LM update.
+
+Run (on the TPU host):  python benchmarks/stefan2d_tpu.py
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))) if "examples" in __file__ else _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.special import exp1
+
+import penguin_tpu as pt
+from penguin_tpu.front_tracking import FrontTracker
+from penguin_tpu.solvers.stefan2d import StefanMono2D
+
+
+def main(n=64, nm=64, dtype=jnp.float32):
+    S = 1.0
+    St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
+    T_inf = -St
+    L, center = 8.0, (4.0, 4.0)
+    mesh = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    t0, dt = 1.0, 0.02
+    front = FrontTracker().create_circle(center, S * np.sqrt(t0), n=nm)
+    front.markers = front.markers.astype(dtype)
+    cap0 = pt.compute_capacity(lambda x, y: -front.sdf(x, y), mesh, p=4, s=1,
+                               dtype=dtype)
+    C = np.asarray(cap0.C_om)
+    r = np.sqrt((C[..., 0] - 4) ** 2 + (C[..., 1] - 4) ** 2)
+    s_ = r / np.sqrt(t0)
+    Tw0 = jnp.asarray(np.where(
+        s_ >= S, T_inf * (1 - exp1(np.maximum(s_**2 / 4, 1e-9)) / exp1(S**2 / 4)),
+        0.0), dtype)
+    bc_b = pt.BorderConditions({k: pt.Dirichlet(float(T_inf))
+                                for k in ("left", "right", "top", "bottom")})
+    phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                     lambda x, y, z, t: 0.0, 1.0)
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, 1.0))
+    solver = StefanMono2D(phase, bc_b, pt.Dirichlet(0.0), dt,
+                          (Tw0, jnp.zeros(mesh.np_shape, dtype)), mesh, "BE")
+
+    t0w = time.time()
+    solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
+                 interior_fluid=False, method="bicgstab", p=4, s=1)
+    wall = time.time() - t0w
+    iters = int(solver.iters_log.sum())
+    print(f"grid {n}x{n}, {nm} markers, {len(solver.iters_log)} steps, "
+          f"{iters} GN iterations")
+    print(f"total {wall:.2f}s (incl. compile) -> per GN iteration "
+          f"(geometry rebuild + solve + Jacobian): see second run")
+    t0w = time.time()
+    solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
+                 interior_fluid=False, method="bicgstab", p=4, s=1)
+    wall = time.time() - t0w
+    iters = int(solver.iters_log.sum())
+    print(f"cached: {wall:.2f}s for {iters} GN iterations -> "
+          f"{wall / max(iters, 1) * 1e3:.1f} ms/iteration")
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,9 @@ t_end=0.1, CN) — writes taylor_green_convergence.csv.
 Run:  python benchmarks/taylor_green.py
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))) if "examples" in __file__ else _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import csv
 
 import numpy as np

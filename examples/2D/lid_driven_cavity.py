@@ -4,6 +4,9 @@ benchmark/navierstokes/lid_driven_cavity_steady.jl.
 Run:  python examples/2D/lid_driven_cavity.py [Re]
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))) if "examples" in __file__ else _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

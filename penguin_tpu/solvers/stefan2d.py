@@ -117,7 +117,7 @@ class StefanMono2D(_ScalarSolverBase):
               lm_min_lambda=1e-10, lm_max_lambda=1e6,
               enable_stencil_fusion=True,
               smooth_window=5, smooth_passes=1,
-              extrapolation_factor=0.8,
+              extrapolation_factor=0.8, max_disp_cells=0.5,
               p=4, s=1, jac_p=4, jac_s=1):
         """``front``: FrontTracker (markers define the *solid/fluid*
         polygon; ``interior_fluid`` chooses which side is the simulated
@@ -149,7 +149,9 @@ class StefanMono2D(_ScalarSolverBase):
                 # (reference feeds bc.vᵞ from the front motion,
                 # liquidmotionsolver/diffusion2d.jl:94-101)
                 _, Va_, Vb_, G0_, _, _ = slice_spacetime(cap)
-                v_g = (Vb_ - Va_) / (dt * jnp.where(G0_ > 0, G0_, 1.0))
+                # v = ΔV / (dt Γ_spatial); the sliced space-time Γ already
+                # carries the dt factor (Γ0 ≈ dt·Γ_sp), so v = ΔV/Γ0
+                v_g = (Vb_ - Va_) / jnp.where(G0_ > 0, G0_, 1.0)
                 v_g = jnp.where(G0_ > 0, v_g, 0.0)
                 g_override = bc_i.Tm - bc_i.eps_v * v_g
             apply_fn, rhs_fn = build_moving_mono_system(
@@ -189,6 +191,7 @@ class StefanMono2D(_ScalarSolverBase):
             return F.ravel()
 
         jac_fn = jax.jacfwd(vol_residual)
+        max_disp = max_disp_cells * min(mesh.h[:2])
 
         def gn_step(Told, mk_a, d0, t):
             normals = polyline_normals(mk_a)
@@ -209,6 +212,7 @@ class StefanMono2D(_ScalarSolverBase):
                 delta = jnp.linalg.solve(A, J.T @ Fv)
                 d_new = d - alpha * delta
                 d_new = smooth_displacements(d_new, smooth_window, smooth_passes)
+                d_new = jnp.clip(d_new, -max_disp, max_disp)
                 rn = jnp.linalg.norm(Fv)
                 lam_new = jnp.where(
                     rn < prev_rn,
@@ -276,7 +280,7 @@ class StefanDiph2D(_ScalarSolverBase):
               lm_min_lambda=1e-10, lm_max_lambda=1e6,
               enable_stencil_fusion=True,
               smooth_window=5, smooth_passes=1,
-              extrapolation_factor=0.8,
+              extrapolation_factor=0.8, max_disp_cells=0.5,
               p=4, s=1, jac_p=4, jac_s=1):
         """``latent_sign``: +1 when phase-1 growth *absorbs* latent heat
         (melting into phase 1, the 1D reference bookkeeping), -1 when
@@ -333,6 +337,7 @@ class StefanDiph2D(_ScalarSolverBase):
             return F.ravel()
 
         jac_fn = jax.jacfwd(vol_residual)
+        max_disp = max_disp_cells * min(mesh.h[:2])
 
         def gn_step(Xold, mk_a, d0, t):
             normals = polyline_normals(mk_a)
@@ -353,6 +358,7 @@ class StefanDiph2D(_ScalarSolverBase):
                 delta = jnp.linalg.solve(JTJ + lam * jnp.diag(diag), J.T @ Fv)
                 d_new = smooth_displacements(d - alpha * delta, smooth_window,
                                              smooth_passes)
+                d_new = jnp.clip(d_new, -max_disp, max_disp)
                 rn = jnp.linalg.norm(Fv)
                 lam_new = jnp.where(rn < prev_rn,
                                     jnp.maximum(lam / lm_lambda_factor, lm_min_lambda),
