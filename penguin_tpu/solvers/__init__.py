@@ -15,6 +15,7 @@ from .moving_diffusion import (
     MovingDiffusionUnsteadyMono,
     MovingDiffusionUnsteadyDiph,
     MovingAdvDiffusionUnsteadyMono,
+    MovingAdvDiffusionUnsteadyDiph,
 )
 from .stefan1d import MovingLiquidDiffusionUnsteadyMono
 from .stefan2d import StefanMono2D
@@ -48,6 +49,7 @@ __all__ = [
     "MovingDiffusionUnsteadyMono",
     "MovingDiffusionUnsteadyDiph",
     "MovingAdvDiffusionUnsteadyMono",
+    "MovingAdvDiffusionUnsteadyDiph",
     "MovingLiquidDiffusionUnsteadyMono",
     "StefanMono2D",
     "MovingLiquidDiffusionUnsteadyMono2D",

@@ -34,6 +34,8 @@ from .diffusion import _ScalarSolverBase
 __all__ = [
     "MovingDiffusionUnsteadyMono",
     "MovingDiffusionUnsteadyDiph",
+    "MovingAdvDiffusionUnsteadyMono",
+    "MovingAdvDiffusionUnsteadyDiph",
     "slice_spacetime",
     "psi_weights",
 ]
@@ -536,6 +538,162 @@ class MovingDiffusionUnsteadyDiph(_ScalarSolverBase):
             def body(x, k):
                 t = t_start + k * dt
                 return step(x, t), None
+
+            return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
+
+        xf, _ = run(self.u0)
+        self.x = xf
+        self.states = [xf]
+        return self.x
+
+
+def build_moving_advdiff_diph_system(cap1, cap2, D1, D2, f1, f2, ic,
+                                     border1, border2, u_bulk, u_gamma,
+                                     t, dt, scheme):
+    """(apply, rhs) for prescribed-motion diphasic advection-diffusion
+    (A/b_diph_unstead_advdiff_moving, advectiondiffusion.jl:266-508): the
+    diphasic moving-diffusion blocks with flux-form convection added to the
+    two bulk rows, weighted by the fresh/dead psi_conv factors (the same
+    velocity field drives both phases, as in the reference driver
+    advectiondiffusion.jl:510-553)."""
+    import types
+
+    from ..assembly import _col_G_nz
+    from ..boundary import eval_condition_value
+    from ..operators import make_convection_ops
+
+    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
+    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
+    p1p, p1m = psi_weights(scheme, Vb1, Va1)
+    p2p, p2m = psi_weights(scheme, Vb2, Va2)
+    c1p, c1m = psi_conv_weights(Vb1, Va1)
+    c2p, c2m = psi_conv_weights(Vb2, Va2)
+    a1, a2 = ic.scalar.alpha1, ic.scalar.alpha2
+    be1, be2 = ic.flux.beta1, ic.flux.beta2
+    Id1, Id2 = _eval_D(D1, C1), _eval_D(D2, C2)
+    dV1, dV2 = Va1 - Vb1, Va2 - Vb2
+    act1 = (Va1 != 0) | (Vb1 != 0) | _col_G_nz(ops1)
+    act2 = (Va2 != 0) | (Vb2 != 0) | _col_G_nz(ops2)
+
+    def spatial_conv(ops):
+        cap_sp = types.SimpleNamespace(
+            A=ops.A, B=ops.B, V=ops.V,
+            W=tuple(jnp.where(w != 0, 1.0 / w, 0.0) for w in ops.Wdag),
+        )
+        return make_convection_ops(cap_sp, u_bulk, u_gamma)
+
+    conv1, conv2 = spatial_conv(ops1), spatial_conv(ops2)
+
+    def apply(x):
+        TW1, TG1, TW2, TG2 = x
+        q1 = ops1.flux(p1p * TW1, p1p * TG1)
+        q2 = ops2.flux(p2p * TW2, p2p * TG2)
+        r1 = (
+            Va1 * TW1 + Id1 * ops1.GT(q1) - dV1 * TG1
+            - (conv1.conv(c1p * TW1) + 0.5 * conv1.kconv(c1p * TW1))
+            - 0.5 * conv1.kconv(c1p * TG1)
+        )
+        r3 = (
+            Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2
+            - (conv2.conv(c2p * TW2) + 0.5 * conv2.kconv(c2p * TW2))
+            - 0.5 * conv2.kconv(c2p * TG2)
+        )
+        r2 = a1 * TG1 - a2 * TG2
+        r4 = (
+            be1 * ops1.HT(q1) - dV1 * TG1
+            + be2 * ops2.HT(q2) - dV2 * TG2
+        )
+        r1 = jnp.where(act1, r1, TW1)
+        r3 = jnp.where(act2, r3, TW2)
+        if border1 is not None:
+            r1 = border1.matvec(r1, TW1)
+        if border2 is not None:
+            r3 = border2.matvec(r3, TW2)
+        return (r1, r2, r3, r4)
+
+    def rhs(x_prev):
+        TW1, TG1, TW2, TG2 = x_prev
+        gg = eval_condition_value(
+            ic.scalar.value, [Cg1[..., d] for d in range(Cg1.shape[-1])], t
+        ) if callable(ic.scalar.value) else ic.scalar.value * jnp.ones_like(Vb1)
+        hh = eval_condition_value(
+            ic.flux.value, [Cg2[..., d] for d in range(Cg2.shape[-1])], t
+        ) if callable(ic.flux.value) else ic.flux.value * jnp.ones_like(Vb2)
+
+        def bulk(ops, Vb, Id, pm, cm, conv, TW, TG, f, C):
+            fn1 = _eval_f(f, C, t + dt)
+            if scheme == "CN":
+                fn = _eval_f(f, C, t)
+                qm = ops.flux(pm * TW, jnp.zeros_like(TG))
+                hterm = ops.flux(jnp.zeros_like(TW), TG)
+                return (
+                    Vb * TW - Id * ops.GT(qm) - 0.5 * Id * ops.GT(hterm)
+                    + 0.5 * ops.V * (fn + fn1)
+                    - 0.5 * conv.kconv(pm * TW) - 0.5 * conv.kconv(TG)
+                    - conv.conv(TW)
+                )
+            return (
+                Vb * TW + ops.V * fn1
+                - 0.5 * conv.kconv(cm * TW) - 0.5 * conv.kconv(TG)
+                - conv.conv(cm * TW)
+            )
+
+        b1 = bulk(ops1, Vb1, Id1, p1m, c1m, conv1, TW1, TG1, f1, C1)
+        b3 = bulk(ops2, Vb2, Id2, p2m, c2m, conv2, TW2, TG2, f2, C2)
+        b2 = gg
+        b4 = G2 * hh
+        if border1 is not None:
+            b1 = border1.rhs(b1, t)
+        if border2 is not None:
+            b3 = border2.rhs(b3, t)
+        return (b1, b2, b3, b4)
+
+    return apply, rhs
+
+
+class MovingAdvDiffusionUnsteadyDiph(_ScalarSolverBase):
+    """Prescribed-motion diphasic advection-diffusion
+    (solve_MovingAdvDiffusionUnsteadyDiph!, advectiondiffusion.jl:510-553)."""
+
+    def __init__(self, phase1, phase2, bc_b, ic, dt, u0, mesh, scheme="BE"):
+        self.phase1, self.phase2 = phase1, phase2
+        self.bc_b = bc_b
+        self.ic = ic
+        self.dt = float(dt)
+        self.u0 = u0
+        self.mesh = mesh
+        self.scheme = scheme
+
+    def solve(self, body_st, body_c_st, t_start, t_end, u_bulk, u_gamma,
+              method="direct", p=6, s=1):
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        mesh, scheme, ic = self.mesh, self.scheme, self.ic
+        D1, f1 = self.phase1.diffusion, self.phase1.source
+        D2, f2 = self.phase2.diffusion, self.phase2.source
+        bc_b = self.bc_b
+
+        def step(x, t):
+            cap1 = compute_capacity_spacetime(body_st, mesh, t, t + dt, p=p, s=s)
+            cap2 = compute_capacity_spacetime(body_c_st, mesh, t, t + dt, p=p, s=s)
+            b1m = border_info(mesh, bc_b, phase_mask=cap1.cell_types[..., 0] != 0)
+            b2m = border_info(mesh, bc_b, phase_mask=cap2.cell_types[..., 0] != 0)
+            apply_fn, rhs_fn = build_moving_advdiff_diph_system(
+                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m,
+                u_bulk, u_gamma, t, dt, scheme
+            )
+            b = rhs_fn(x)
+            if method == "direct":
+                return _direct_solve(apply_fn, b)
+            from jax.scipy.sparse.linalg import bicgstab
+
+            xn, _ = bicgstab(apply_fn, b, x0=x, tol=1e-10, maxiter=3000)
+            return xn
+
+        @jax.jit
+        def run(u0):
+            def body(x, k):
+                return step(x, t_start + k * dt), None
 
             return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
 

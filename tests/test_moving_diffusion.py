@@ -141,6 +141,47 @@ def test_moving_diph_static_body_matches_static_solver():
         assert np.abs(a - b).max() < 1e-7, (i, np.abs(a - b).max())
 
 
+def test_moving_advdiff_diph_zero_velocity_matches_diffusion():
+    """MovingAdvDiffusionUnsteadyDiph with u=0 == MovingDiffusionUnsteadyDiph
+    (advectiondiffusion.jl:266-508 reduces to diffusion.jl:292-501)."""
+    from penguin_tpu.solvers import MovingAdvDiffusionUnsteadyDiph
+    from penguin_tpu.solvers.moving_diffusion import MovingDiffusionUnsteadyDiph
+
+    nx, lx = 32, 8.0
+    mesh = pt.Mesh((nx,), (lx,), (0.0,))
+    body = pt.geometry.halfspace(0, 4.0)
+    body_c = pt.geometry.halfspace(0, 4.0, -1.0)
+    body_st = lambda x, t: body(x)
+    body_c_st = lambda x, t: body_c(x)
+    cap1 = pt.compute_capacity(body, mesh)
+    cap2 = pt.compute_capacity(body_c, mesh)
+    ph1 = pt.Phase(cap1, pt.make_diffusion_ops(cap1), lambda x, y, z, t: 0.0, 1.0)
+    ph2 = pt.Phase(cap2, pt.make_diffusion_ops(cap2), lambda x, y, z, t: 0.0, 2.0)
+    bc_b = pt.BorderConditions({"top": pt.Dirichlet(1.0), "bottom": pt.Dirichlet(0.0)})
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, 0.0))
+    z = jnp.zeros(mesh.np_shape)
+    o = jnp.ones(mesh.np_shape)
+    u0 = (z, z, o, o)
+    dt = 0.5 * (lx / nx) ** 2
+    t_end = 4.5 * dt
+    zero_u = (z,)
+
+    ref = MovingDiffusionUnsteadyDiph(ph1, ph2, bc_b, ic, dt, u0, mesh, "BE")
+    ref.solve(body_st, body_c_st, 0.0, t_end, method="direct", p=6, s=1)
+
+    adv = MovingAdvDiffusionUnsteadyDiph(ph1, ph2, bc_b, ic, dt, u0, mesh, "BE")
+    adv.solve(body_st, body_c_st, 0.0, t_end, zero_u, zero_u,
+              method="direct", p=6, s=1)
+
+    for i in (0, 2):
+        ct = np.asarray((cap1 if i == 0 else cap2).cell_types)
+        sel = ct != 0
+        a = np.asarray(adv.x[i])[sel]
+        b = np.asarray(ref.x[i])[sel]
+        assert np.abs(a - b).max() < 1e-8, (i, np.abs(a - b).max())
+
+
 def test_volume_redefinition_1d():
     from penguin_tpu.utils import volume_redefinition
 
