@@ -17,7 +17,12 @@ from .moving_diffusion import (
     MovingAdvDiffusionUnsteadyMono,
     MovingAdvDiffusionUnsteadyDiph,
 )
-from .stefan1d import MovingLiquidDiffusionUnsteadyMono
+from .stefan1d import (
+    MovingLiquidDiffusionUnsteadyMono,
+    MovingLiquidDiffusionUnsteadyMonoCoupled,
+    MovingLiquidDiffusionUnsteadyDiph,
+    solve_stefan_1d_adaptive,
+)
 from .stefan2d import StefanMono2D
 from .stefan2d_height import MovingLiquidDiffusionUnsteadyMono2D
 from .concentration import DiffusionUnsteadyConcentration
@@ -51,6 +56,9 @@ __all__ = [
     "MovingAdvDiffusionUnsteadyMono",
     "MovingAdvDiffusionUnsteadyDiph",
     "MovingLiquidDiffusionUnsteadyMono",
+    "MovingLiquidDiffusionUnsteadyMonoCoupled",
+    "MovingLiquidDiffusionUnsteadyDiph",
+    "solve_stefan_1d_adaptive",
     "StefanMono2D",
     "MovingLiquidDiffusionUnsteadyMono2D",
     "DiffusionUnsteadyConcentration",

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
 
 from ..assembly import border_info
 from ..boundary import BorderConditions
@@ -43,8 +44,11 @@ from .moving_diffusion import (
     slice_spacetime,
 )
 
-__all__ = ["MovingLiquidDiffusionUnsteadyMono", "interface_flux_1d",
-           "find_lambda_stefan", "stefan_interface_position"]
+__all__ = ["MovingLiquidDiffusionUnsteadyMono",
+           "MovingLiquidDiffusionUnsteadyMonoCoupled",
+           "MovingLiquidDiffusionUnsteadyDiph", "solve_stefan_1d_adaptive",
+           "interface_flux_1d", "find_lambda_stefan",
+           "find_lambda_stefan_two_phase", "stefan_interface_position"]
 
 
 def _interp_body_1d(x, t, params):
@@ -165,6 +169,158 @@ class MovingLiquidDiffusionUnsteadyMono(_ScalarSolverBase):
                     lr_state_init(xf_start.dtype),
                     jnp.asarray(jnp.inf, xf_start.dtype), 0)
             T, xf_b, _, _, _, err, it = jax.lax.while_loop(cond, body, init)
+            return T, xf_b, err, it
+
+        @jax.jit
+        def run(u0, xf0):
+            def step(carry, k):
+                T, xf = carry
+                t = t_start + k * dt
+                Tn, xfn, err, it = newton(T, xf, t)
+                return (Tn, xfn), (xfn, err, it)
+
+            (Tf, xff), (xf_log, errs, iters) = jax.lax.scan(
+                step, (u0, xf0), jnp.arange(K + 1.0)
+            )
+            return Tf, xff, xf_log, errs, iters
+
+        dtype = self.u0[0].dtype
+        Tf, xff, xf_log, errs, iters = run(self.u0, jnp.asarray(xf0, dtype))
+        self.x = Tf
+        self.xf = float(xff)
+        self.xf_log = np.asarray(xf_log)
+        self.newton_errs = np.asarray(errs)
+        self.newton_iters = np.asarray(iters)
+        self.states = [Tf]
+        return self.x
+
+
+class MovingLiquidDiffusionUnsteadyMonoCoupled(_ScalarSolverBase):
+    """Coupled-Newton 1D Stefan: Newton on the EXTENDED unknown
+    z = (Tω, Tγ, V_future) — temperature and the future cut-cell volumes
+    solved simultaneously (reference coupled_newton_step!,
+    liquidmotionsolver/diffusion_coupled.jl:14-209).
+
+    Extended residual per cell (geometry refreshed each iteration like the
+    reference's rebuild, diffusion_coupled.jl:155-170):
+
+    - bulk row   ``F = Va Tω + Id GᵀWꜝG ψ⁺(Tω,Tγ) - (Va - Vf) Tγ
+      - (Vf Tω_old + V f)`` — the moving-scheme row with the END-of-slab
+      volume Vf as an unknown (our slab slicing: slot 0 = start volume Va
+      frozen, slot 1 = end volume moving with the front);
+    - Stefan row ``R = ρL (Va - Vf) - Id Hᵀ Wꜝ (G Tω + H Tγ)`` (per-cell
+      discrete Stefan balance — the same bookkeeping as the validated
+      scalar residual ``res = ΣVa - ΣVb - flux/ρL``);
+    - value row  ``Tγ - g`` on interface cells.
+
+    The 3m×3m Jacobian is EXACT via ``jax.jacfwd`` of the residual
+    (replacing the reference's analytic J11..J23 block assembly, including
+    the bilinear ∂F/∂V = Tω_old - Tγ coupling), and the front update is the
+    geometric identity δxf = Σ δVf (total 1D fluid volume = fluid length;
+    the reference uses mean(δV) — a heavier damping — documented
+    deviation)."""
+
+    def __init__(self, phase, bc_b, bc_i, dt, u0, mesh, scheme="BE"):
+        self.phase = phase
+        self.bc_b = bc_b
+        self.bc_i = bc_i
+        self.dt = float(dt)
+        self.u0 = u0
+        self.mesh = mesh
+        self.scheme = scheme
+        self.border = border_info(mesh, bc_b)
+
+    def solve(self, xf0, t_start, t_end, ic,
+              newton_params=(40, 1e-10, 1e-10, 1.0), p=6, s=1):
+        from ..assembly import _col_G_nz, _col_H_nz
+        from .moving_diffusion import _eval_f, _eval_g, psi_weights
+
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        max_iter, tol, reltol, damp = newton_params
+        max_iter = int(max_iter)
+        rhoL = ic.flux.value
+        D, f = self.phase.diffusion, self.phase.source
+        bc_i, border, mesh, scheme = self.bc_i, self.border, self.mesh, self.scheme
+
+        def newton_iter(Tprev, Titer, xf_a, xf_b, t):
+            # Tprev: converged previous-time-step field (fixed across the
+            # Newton iterations — it feeds the rhs mass term); Titer: the
+            # current Newton iterate (linearization point).
+            cap = compute_capacity_spacetime(
+                _interp_body_1d, mesh, 0.0, dt, p=p, s=s,
+                params=(xf_a, xf_b, dt),
+            )
+            ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap)
+            psip, psim = psi_weights(scheme, Vb, Va)
+            Id = _eval_D(D, C_sp)
+            bulk_act = (Va != 0) | (Vb != 0) | _col_G_nz(ops)
+            ifc_act = (Gamma0 != 0) | _col_H_nz(ops)
+            gg = _eval_g(bc_i, Cg_sp, Gamma0, t)
+            Tw0, Tg0 = Tprev
+
+            def residual(z):
+                Tw, Tg, Vf = z
+                q = ops.flux(psip * Tw, psip * Tg)
+                Fw = Va * Tw + Id * ops.GT(q) - (Va - Vf) * Tg
+                Fw = jnp.where(bulk_act, Fw, Tw)
+                if border is not None:
+                    Fw = border.matvec(Fw, Tw)
+                fn1 = _eval_f(f, C_sp, t + dt)
+                if scheme == "CN":
+                    fn = _eval_f(f, C_sp, t)
+                    qm = ops.flux(psim * Tw0, jnp.zeros_like(Tg0))
+                    hterm = ops.flux(jnp.zeros_like(Tw0), Tg0)
+                    b1v = (Vf * Tw0 - Id * ops.GT(qm)
+                           - 0.5 * Id * ops.GT(hterm)
+                           + 0.5 * ops.V * (fn + fn1))
+                else:
+                    b1v = Vf * Tw0 + ops.V * fn1
+                if border is not None:
+                    b1v = border.rhs(b1v, t)
+                Fw = Fw - b1v
+                q2 = ops.flux(Tw, Tg)
+                R = rhoL * (Va - Vf) - Id * ops.HT(q2)
+                # 1D stencil fusion (the 2D solver's 3x3 box filter,
+                # stefan.jl:588-785): the per-cell Stefan balance is
+                # over-determined (flux spans two cells, the volume change
+                # lives in the crossed cell); summing over the 3-cell
+                # neighborhood makes the interface rows the aggregate
+                # balance the scalar solver converges to.
+                R = (R
+                     + jnp.pad(R, (1, 0))[:-1]
+                     + jnp.pad(R, (0, 1))[1:])
+                Gr = jnp.where(ifc_act, Tg - gg, Tg)
+                return (Fw, R, Gr)
+
+            z0 = (Titer[0], Titer[1], Vb)
+            res = residual(z0)
+            flat, unravel = ravel_pytree(z0)
+            rflat = ravel_pytree(res)[0]
+            J = jax.jacfwd(lambda v: ravel_pytree(
+                residual(unravel(v)))[0])(flat)
+            delta = jnp.linalg.lstsq(J, -rflat)[0]
+            dTw, dTg, dVf = unravel(delta)
+            Tn = (Titer[0] + damp * dTw, Titer[1] + damp * dTg)
+            # 1D geometric identity: total fluid volume = fluid length
+            dxf = damp * jnp.sum(dVf)
+            err = jnp.linalg.norm(rflat)
+            return Tn, xf_b + dxf, err
+
+        def newton(Told, xf_start, t):
+            def cond(st):
+                T, xf_b, err, it = st
+                return (it < max_iter) & (err > tol) & \
+                    (err > reltol * jnp.maximum(1.0, jnp.abs(xf_b)))
+
+            def body(st):
+                T, xf_b, err, it = st
+                Tn, xfn, e = newton_iter(Told, T, xf_start, xf_b, t)
+                return (Tn, xfn, e, it + 1)
+
+            init = (Told, xf_start,
+                    jnp.asarray(jnp.inf, xf_start.dtype), 0)
+            T, xf_b, err, it = jax.lax.while_loop(cond, body, init)
             return T, xf_b, err, it
 
         @jax.jit

@@ -123,3 +123,48 @@ def test_stefan_1d_adaptive_dt():
     assert abs(s.t_final - t_end) < 1e-9
     xf_exact = stefan_interface_position(t_end, k, lam)
     assert abs(s.xf - xf_exact) < 0.03, (s.xf, xf_exact)
+
+
+def test_stefan_1d_coupled_newton_tracks_analytic():
+    """Coupled-Newton variant (diffusion_coupled.jl) tracks the same
+    similarity solution as the xf-iteration solver."""
+    from penguin_tpu.solvers.stefan1d import (
+        MovingLiquidDiffusionUnsteadyMonoCoupled,
+    )
+
+    T0, k = 1.0, 1.0
+    St = 1.0
+    rhoL = 1.0 / St
+    lam = find_lambda_stefan(St)
+
+    nx, lx = 48, 2.0
+    mesh = pt.Mesh((nx,), (lx,), (0.0,))
+    dt = 2e-3
+    t_start, t_end = 0.05, 0.08
+    xf0 = stefan_interface_position(t_start, k, lam)
+
+    cap0 = pt.compute_capacity(pt.geometry.halfspace(0, xf0), mesh)
+    Cc = np.asarray(cap0.C_om[..., 0])
+    Tw0 = jnp.asarray(np.maximum(
+        T0 - T0 / erf(lam) * erf(Cc / (2 * np.sqrt(k * t_start))), 0.0))
+    Tg0 = jnp.zeros(mesh.np_shape)
+
+    bc_b = pt.BorderConditions(
+        {"bottom": pt.Dirichlet(T0), "top": pt.Dirichlet(0.0)}
+    )
+    phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                     lambda x, y, z, t: 0.0, k)
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, rhoL))
+
+    solver = MovingLiquidDiffusionUnsteadyMonoCoupled(
+        phase, bc_b, pt.Dirichlet(0.0), dt, (Tw0, Tg0), mesh, "BE"
+    )
+    solver.solve(xf0, t_start, t_end, ic, newton_params=(30, 1e-9, 1e-9, 1.0))
+
+    n_solves = len(solver.xf_log)
+    t_eff = t_start + n_solves * dt
+    s_exact = stefan_interface_position(t_eff, k, lam)
+    assert solver.xf > xf0 + 0.005
+    assert abs(solver.xf - s_exact) < 0.03, (solver.xf, s_exact)
+    assert solver.newton_errs.max() < 1e-6, solver.newton_errs.max()
