@@ -41,6 +41,10 @@ __all__ = [
     "polygon_centroid",
     "interface_length",
     "smooth_displacements",
+    "segment_parameters",
+    "segment_cell_intersections",
+    "intercept_jacobian",
+    "update_front_with_intercept_displacements",
 ]
 
 
@@ -220,6 +224,96 @@ def compute_volume_jacobian(mesh, markers, sign=1.0, p=4, s=1):
     return J.reshape(nx + 1, ny + 1, markers.shape[0])
 
 
+
+# ---------------------------------------------------------------------------
+# intercept (segment) parameterization — the Hybrid-LS-style interface
+# representation (reference front_tracking.jl:2456-2752; demo
+# test/fronttrack/intercept.jl)
+# ---------------------------------------------------------------------------
+
+def segment_parameters(markers):
+    """Per-segment (normals, intercepts, lengths, midpoints) for the closed
+    polyline; segment i runs marker i -> i+1 (mod n).  The outward unit
+    normal of segment (dx,dy) is (dy,-dx) for counterclockwise markers —
+    orientation resolved from the signed polygon area instead of the
+    reference's point-in-polygon probe (compute_segment_parameters,
+    front_tracking.jl:2456-2531)."""
+    a, b = _segments(markers)
+    d = b - a
+    lengths = jnp.linalg.norm(d, axis=-1)
+    safe = jnp.maximum(lengths, 1e-300)
+    orient = jnp.sign(polygon_area(markers))
+    orient = jnp.where(orient == 0, 1.0, orient)
+    normals = orient * jnp.stack([d[:, 1], -d[:, 0]], axis=-1) / safe[:, None]
+    normals = jnp.where(lengths[:, None] > 1e-15, normals,
+                        jnp.array([0.0, 1.0]))
+    intercepts = jnp.sum(normals * a, axis=-1)
+    midpoints = 0.5 * (a + b)
+    return normals, intercepts, lengths, midpoints
+
+
+def segment_cell_intersections(mesh, markers):
+    """Length of each interface segment clipped to each grid cell, shape
+    ``(nx, ny, n_segments)`` — Liang-Barsky parametric clipping instead of
+    the reference's LibGEOS LineString/box intersections
+    (compute_segment_cell_intersections, front_tracking.jl:2560-2629)."""
+    import numpy as _np
+
+    a, b = _segments(markers)
+    d = b - a  # (ns, 2)
+    seg_len = jnp.linalg.norm(d, axis=-1)
+
+    nx, ny = mesh.n[:2]
+    lox = jnp.asarray(_np.asarray(mesh.nodes[0][:-1])).reshape(nx, 1, 1)
+    hix = jnp.asarray(_np.asarray(mesh.nodes[0][1:])).reshape(nx, 1, 1)
+    loy = jnp.asarray(_np.asarray(mesh.nodes[1][:-1])).reshape(1, ny, 1)
+    hiy = jnp.asarray(_np.asarray(mesh.nodes[1][1:])).reshape(1, ny, 1)
+
+    def axis_window(p0, dd, lo, hi):
+        # t-interval where p0 + t*dd lies in [lo, hi]
+        dd_safe = jnp.where(jnp.abs(dd) > 1e-300, dd, 1.0)
+        t0 = (lo - p0) / dd_safe
+        t1 = (hi - p0) / dd_safe
+        tmin = jnp.minimum(t0, t1)
+        tmax = jnp.maximum(t0, t1)
+        inside = (p0 >= lo) & (p0 <= hi)
+        tmin = jnp.where(jnp.abs(dd) > 1e-300, tmin,
+                         jnp.where(inside, -jnp.inf, jnp.inf))
+        tmax = jnp.where(jnp.abs(dd) > 1e-300, tmax,
+                         jnp.where(inside, jnp.inf, -jnp.inf))
+        return tmin, tmax
+
+    txm, txM = axis_window(a[None, None, :, 0], d[None, None, :, 0], lox, hix)
+    tym, tyM = axis_window(a[None, None, :, 1], d[None, None, :, 1], loy, hiy)
+    t_in = jnp.maximum(jnp.maximum(txm, tym), 0.0)
+    t_out = jnp.minimum(jnp.minimum(txM, tyM), 1.0)
+    return jnp.maximum(t_out - t_in, 0.0) * seg_len[None, None, :]
+
+
+def intercept_jacobian(mesh, markers, density=1.0):
+    """∂V_cell/∂δ_I for intercept displacements δ_I along segment normals:
+    J[cell, I] = ρ · |segment I ∩ cell| (compute_intercept_jacobian,
+    front_tracking.jl:2630-2678).  Returns (J(nx,ny,ns), normals,
+    intercepts, lengths)."""
+    normals, intercepts, lengths, _ = segment_parameters(markers)
+    J = density * segment_cell_intersections(mesh, markers)
+    return J, normals, intercepts, lengths
+
+
+def update_front_with_intercept_displacements(markers, displacements,
+                                              normals, lengths):
+    """Move each marker by the segment-length-weighted average of its two
+    adjacent segments' displacement vectors δ_I n_I
+    (update_front_with_intercept_displacements!,
+    front_tracking.jl:2697-2752)."""
+    w = jnp.maximum(lengths, 1e-10)
+    vec = displacements[:, None] * normals  # (ns, 2)
+    # marker i joins segment i (as start) and segment i-1 (as end)
+    w_prev = jnp.roll(w, 1)
+    v_prev = jnp.roll(vec, 1, axis=0)
+    avg = (w[:, None] * vec + w_prev[:, None] * v_prev) / (w + w_prev)[:, None]
+    return markers + avg
+
 class FrontTracker:
     """Thin stateful wrapper mirroring the reference API
     (``FrontTracker``, front_tracking.jl:5-54); the functional kernels above
@@ -259,6 +353,18 @@ class FrontTracker:
 
     def length(self):
         return float(interface_length(self.markers))
+
+    def segment_parameters(self):
+        return segment_parameters(self.markers)
+
+    def intercept_jacobian(self, mesh, density=1.0):
+        return intercept_jacobian(mesh, self.markers, density)
+
+    def apply_intercept_displacements(self, displacements):
+        normals, _, lengths, _ = segment_parameters(self.markers)
+        self.markers = update_front_with_intercept_displacements(
+            self.markers, displacements, normals, lengths)
+        return self
 
     def body(self):
         """SDF callable for the capacity engine."""

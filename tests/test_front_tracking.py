@@ -80,3 +80,63 @@ def test_sdf_traced_markers_jit():
     g = jax.grad(area_of)(m)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_segment_parameters_circle():
+    """Segment normals point outward, intercepts are n.p1, lengths sum to
+    the perimeter (compute_segment_parameters, front_tracking.jl:2456-2531)."""
+    from penguin_tpu.front_tracking import markers_circle, segment_parameters
+
+    c = (2.0, 3.0)
+    mk = markers_circle(c, 1.0, n=64)
+    normals, intercepts, lengths, mids = segment_parameters(mk)
+    out = np.asarray(mids) - np.asarray(c)
+    dots = (np.asarray(normals) * out / np.linalg.norm(out, axis=1, keepdims=True)).sum(1)
+    assert dots.min() > 0.99
+    assert abs(float(lengths.sum()) - 2 * np.pi) < 0.02
+    a = np.asarray(mk)
+    assert np.allclose(np.asarray(intercepts),
+                       (np.asarray(normals) * a).sum(1))
+
+
+def test_segment_cell_intersections_cover_segments():
+    """Every segment's clipped lengths over all cells sum to its length
+    (front fully inside the domain)."""
+    from penguin_tpu.front_tracking import (markers_circle,
+                                            segment_cell_intersections)
+
+    mesh = pt.Mesh((16, 16), (4.0, 4.0), (0.0, 0.0))
+    mk = markers_circle((2.0, 2.0), 1.2, n=48)
+    L = segment_cell_intersections(mesh, mk)
+    seg_len = np.linalg.norm(np.asarray(jnp.roll(mk, -1, axis=0) - mk), axis=1)
+    assert np.allclose(np.asarray(L).sum(axis=(0, 1)), seg_len, atol=1e-12)
+
+
+def test_intercept_jacobian_predicts_volume_change():
+    """J[cell,I] * delta predicts the cut-cell volume change for a small
+    uniform outward intercept displacement (compute_intercept_jacobian,
+    front_tracking.jl:2630-2678)."""
+    from penguin_tpu.front_tracking import (
+        intercept_jacobian, markers_circle,
+        update_front_with_intercept_displacements, polygon_area)
+
+    mesh = pt.Mesh((24, 24), (4.0, 4.0), (0.0, 0.0))
+    mk = markers_circle((2.0, 2.0), 1.0, n=96)
+    J, normals, intercepts, lengths = intercept_jacobian(mesh, mk)
+    delta = 1e-4
+    disp = jnp.full(lengths.shape, delta)
+    # total predicted area change = delta * total interface length
+    dA_pred = float(J.sum()) * delta
+    mk2 = update_front_with_intercept_displacements(mk, disp, normals, lengths)
+    dA = float(polygon_area(mk2) - polygon_area(mk))
+    assert abs(dA - dA_pred) / abs(dA) < 5e-3, (dA, dA_pred)
+
+
+def test_apply_intercept_displacements_grows_circle():
+    from penguin_tpu.front_tracking import FrontTracker
+
+    ft = FrontTracker().create_circle((0.0, 0.0), 1.0, n=64)
+    ft.apply_intercept_displacements(jnp.full((64,), 0.05))
+    r = np.linalg.norm(np.asarray(ft.markers), axis=1)
+    assert abs(r.mean() - 1.05) < 2e-3
+    assert r.std() < 1e-3
