@@ -256,6 +256,128 @@ class StefanMono2D(_ScalarSolverBase):
         front.markers = mkf
         return self.x
 
+    def solve_geom(self, front, t_start, t_end, ic,
+                   newton_params=(20, 1e-6, 1e-6, 0.8),
+                   interior_fluid=True,
+                   method="direct",
+                   smooth_window=11, smooth_passes=2,
+                   extrapolation_factor=0.8, max_disp_cells=0.5,
+                   p=4, s=1):
+        """Geometric front update (solve_StefanMono2D_geom!,
+        stefan.jl:1135-1403): instead of the Gauss-Newton volume Jacobian,
+        each iteration converts the per-cell energy residual
+        ``F = ρL (Va - Vb) - flux`` directly into a cell displacement
+        ``δ_cell = F / (ρL L_cell sign)`` (the 1-dof-per-cell Newton step
+        with the exact geometric sensitivity ∂V/∂δ = ±L_cell), distributes
+        it to interface segments weighted by segment∩cell intersection
+        lengths (compute_geometric_segment_displacements,
+        stefan.jl:180-247), and averages segments onto markers.  Cheaper
+        than GN (no Jacobian assembly) at the cost of ignoring cross-cell
+        coupling."""
+        from ..front_tracking import segment_cell_intersections
+
+        dt = self.dt
+        K = int(np.ceil((t_end - t_start) / dt - 1e-12))
+        max_iter, tol, reltol, alpha = newton_params
+        max_iter = int(max_iter)
+        rhoL = ic.flux.value
+        sign = 1.0 if interior_fluid else -1.0
+        D, f = self.phase.diffusion, self.phase.source
+        bc_i, border, mesh, scheme = self.bc_i, self.border, self.mesh, self.scheme
+        nm = front.markers.shape[0]
+        nx, ny = mesh.n
+        max_disp = max_disp_cells * min(mesh.h[:2])
+
+        def slab_solve(Told, mk_a, mk_b, t):
+            cap = compute_capacity_spacetime(
+                _st_marker_body, mesh, 0.0, dt, p=p, s=s,
+                params=(mk_a, mk_b, dt, sign),
+            )
+            apply_fn, rhs_fn = build_moving_mono_system(
+                cap, D, f, bc_i, border, t, dt, scheme,
+            )
+            b = rhs_fn(Told)
+            if method == "direct":
+                T = _direct_solve(apply_fn, b)
+            else:
+                from jax.scipy.sparse.linalg import bicgstab
+
+                T, _ = bicgstab(apply_fn, b, x0=Told, tol=1e-9, maxiter=800)
+            ops, Va, Vb, Gamma0, C_sp, _ = slice_spacetime(cap)
+            Id = _eval_D(D, C_sp)
+            q = ops.flux(T[0], T[1])
+            flux = Id * ops.HT(q)
+            return T, flux, Va, Vb
+
+        def geom_displacements(mk_b, F_grid):
+            """Per-cell residual -> per-marker normal displacement."""
+            L = segment_cell_intersections(mesh, mk_b)  # (nx, ny, ns)
+            Fc = F_grid[:nx, :ny]
+            tot = L.sum(-1)
+            D_cell = jnp.where(
+                tot > 1e-12, Fc / (rhoL * jnp.maximum(tot, 1e-12) * sign), 0.0
+            )
+            seg_acc = jnp.einsum("xys,xy->s", L, D_cell)
+            seg_w = L.sum((0, 1))
+            seg_d = jnp.where(seg_w > 1e-12,
+                              seg_acc / jnp.maximum(seg_w, 1e-12), 0.0)
+            # segments -> markers: length-weighted average of the two
+            # segments adjoining each marker (segment i starts at marker i)
+            a, b = mk_b, jnp.roll(mk_b, -1, axis=0)
+            w = jnp.maximum(jnp.linalg.norm(b - a, axis=-1), 1e-10)
+            wd = w * seg_d
+            return (wd + jnp.roll(wd, 1)) / (w + jnp.roll(w, 1))
+
+        def geom_step(Told, mk_a, d0, t):
+            normals = polyline_normals(mk_a)
+
+            def cond(st):
+                d, T, inc, it = st
+                return (it < max_iter) & (inc > tol)
+
+            def body(st):
+                d, T, _, it = st
+                mk_b = mk_a + d[:, None] * normals
+                Tn, flux, Va, Vb = slab_solve(Told, mk_a, mk_b, t)
+                F = rhoL * (Va - Vb) - flux
+                d_inc = alpha * geom_displacements(mk_b, F)
+                d_inc = smooth_displacements(d_inc, smooth_window,
+                                             smooth_passes)
+                d_new = jnp.clip(d + d_inc, -max_disp, max_disp)
+                return (d_new, Tn, jnp.linalg.norm(d_inc), it + 1)
+
+            init = (d0, Told, jnp.asarray(jnp.inf, d0.dtype), 0)
+            d, T, inc, it = jax.lax.while_loop(cond, body, init)
+            return d, T, inc, it
+
+        @jax.jit
+        def run(u0, markers0):
+            d_zero = jnp.zeros(nm, markers0.dtype)
+
+            def step(carry, k):
+                T, mk, last_d = carry
+                t = t_start + k * dt
+                d0 = jnp.where(k > 0, extrapolation_factor * last_d, 0.0)
+                d, Tn, inc, it = geom_step(T, mk, d0, t)
+                normals = polyline_normals(mk)
+                mk_new = resample_markers(mk + d[:, None] * normals)
+                return (Tn, mk_new, d), (mk_new, inc, it)
+
+            (Tf, mkf, _), (mk_log, incs, its) = jax.lax.scan(
+                step, (u0, markers0, d_zero), jnp.arange(K + 1.0)
+            )
+            return Tf, mkf, mk_log, incs, its
+
+        Tf, mkf, mk_log, incs, its = run(self.u0, front.markers)
+        self.x = Tf
+        self.markers = mkf
+        self.marker_log = np.asarray(mk_log)
+        self.residual_log = np.asarray(incs)
+        self.iters_log = np.asarray(its)
+        self.states = [Tf]
+        front.markers = mkf
+        return self.x
+
 
 class StefanDiph2D(_ScalarSolverBase):
     """Two-phase 2D Stefan with front tracking (reference StefanDiph2D,
