@@ -92,3 +92,44 @@ def test_vmapped_geometry_sweep():
     # u_max = r^2 (u = r^2 - d^2 with f=4), loose tolerance on coarse grid
     np.testing.assert_allclose(peaks, np.asarray(radii) ** 2, rtol=0.15)
     assert np.all(np.diff(peaks) > 0)
+
+
+@pytest.mark.slow
+def test_navierstokes_3d_cavity_smoke():
+    """3D lid-driven cavity, few Picard sweeps: the convection operators are
+    dimension-generic (reference NS is 2D-focused; this exceeds parity)."""
+    from penguin_tpu.solvers.navierstokes import NavierStokesMono
+
+    n, L = 6, 1.0
+    mesh_p = pt.Mesh((n, n, n), (L, L, L), (0.0, 0.0, 0.0))
+    d = L / n
+    meshes_u = [
+        pt.Mesh((n, n, n), (L, L, L),
+                tuple(-0.5 * d if i == a else 0.0 for i in range(3)))
+        for a in range(3)
+    ]
+    body = pt.geometry.full_domain(3)
+    caps_u = [pt.compute_capacity(body, m, p=4, s=1) for m in meshes_u]
+    cap_p = pt.compute_capacity(body, mesh_p, p=4, s=1)
+    fluid = pt.Fluid(
+        mesh_u=tuple(meshes_u), mesh_p=mesh_p,
+        capacity_u=tuple(caps_u),
+        operator_u=tuple(pt.make_diffusion_ops(c) for c in caps_u),
+        capacity_p=cap_p, operator_p=pt.make_diffusion_ops(cap_p),
+        mu=1e-2, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    noslip, lid = pt.Dirichlet(0.0), pt.Dirichlet(1.0)
+    keys = ("left", "right", "bottom", "top", "backward", "forward")
+    bc_ux = pt.BorderConditions(
+        {k: (lid if k == "forward" else noslip) for k in keys})
+    bc_0 = pt.BorderConditions({k: noslip for k in keys})
+    solver = NavierStokesMono(fluid, (bc_ux, bc_0, bc_0), PinPressureGauge(),
+                              pt.Dirichlet(0.0))
+    solver.solve_steady(max_iter=3, tol=1e-12, method="lstsq")
+
+    ux = np.asarray(solver.velocity(0))
+    assert all(np.isfinite(np.asarray(v)).all() for v in solver.x)
+    assert np.abs(ux).max() > 0.1  # lid drives a flow
+    # interior velocity bounded by the lid speed (sanity)
+    assert np.abs(ux).max() < 1.5
