@@ -86,6 +86,15 @@ class VelocityBorder:
         for key, cond in bc.borders:
             if key not in keymap:
                 continue
+            if isinstance(cond, Periodic):
+                # Periodic is an OPERATOR property, not row surgery: build
+                # the component operators with make_diffusion_ops(cap,
+                # periodic=...) and the wrap rows stay real momentum
+                # equations.  Surgered wrap ties orphan near-wall pressure
+                # modes (velocity-carrying null space) — verified against
+                # the body-force periodic channel, which is exact to the
+                # staggered wall placement without surgery.
+                continue
             axis, side = keymap[key]
             if axis >= N:
                 continue
@@ -120,13 +129,6 @@ class VelocityBorder:
             elif isinstance(cond, Neumann):
                 nb_w = _shift_p(uw, axis) if side == 0 else _shift_m(uw, axis)
                 yw = jnp.where(mask, (uw - nb_w) / self.h[axis], yw)
-            elif isinstance(cond, Periodic):
-                n_real = mask.shape[axis] - 1
-                partner = (n_real - 1) if side == 0 else 0
-                slp = [slice(None)] * uw.ndim
-                slp[axis] = slice(partner, partner + 1)
-                yw = jnp.where(mask, uw - uw[tuple(slp)], yw)
-                yg = jnp.where(mask, ug - ug[tuple(slp)], yg)
         return yw, yg
 
     def rhs(self, bw, bg, t=None):
@@ -138,7 +140,7 @@ class VelocityBorder:
             elif isinstance(cond, Symmetry):
                 bw = jnp.where(mask, 0.0, bw)
                 bg = jnp.where(mask, 0.0, bg)
-            elif isinstance(cond, (Outflow, Periodic)):
+            elif isinstance(cond, Outflow):
                 bw = jnp.where(mask, 0.0, bw)
                 bg = jnp.where(mask, 0.0, bg)
             elif isinstance(cond, Neumann):
@@ -155,7 +157,9 @@ def stokes_divergence(fluid, uws, ugs):
     for d in range(N):
         Ap = opp.A[d]
         Bp = opp.B[d]
-        out = out - dm_t(Ap * uws[d], d) + dm_t(Ap * ugs[d], d) - Bp * dm_t(ugs[d], d)
+        per = opp._per(d)
+        out = (out - dm_t(Ap * uws[d], d, per) + dm_t(Ap * ugs[d], d, per)
+               - Bp * dm_t(ugs[d], d, per))
     return out
 
 
@@ -225,7 +229,8 @@ class StokesMono:
         q = ops.flux(uw, ug)
         visc_trac = self.mu_diag[d] * ops.HT(q)
         opp = self.fluid.operator_p
-        hp = opp.A[d] * dm(p, d) - dm(opp.B[d] * p, d)
+        per = opp._per(d)
+        hp = opp.A[d] * dm(p, d, per) - dm(opp.B[d] * p, d, per)
         return visc_trac - hp
 
     def _tie_or_traction(self, d, uw, ug, p):
@@ -240,8 +245,8 @@ class StokesMono:
         return self.mu_diag[d] * ops.GT(q)
 
     def _grad(self, d, p):
-        Ap = self.fluid.operator_p.A[d]
-        return -(Ap * dm(p, d))
+        opp = self.fluid.operator_p
+        return -(opp.A[d] * dm(p, d, opp._per(d)))
 
     def _gauge_fix(self, yp, p):
         if self.pin_mask is not None:
@@ -282,7 +287,9 @@ class StokesMono:
             ops = self.fluid.operator_u[d]
             C = cap.C_om
             coords = [C[..., i] for i in range(C.shape[-1])]
-            f = eval_condition_value(self.fluid.f_u, coords, t)
+            fu = self.fluid.f_u
+            fu_d = fu[d] if isinstance(fu, (tuple, list)) else fu
+            f = eval_condition_value(fu_d, coords, t)
             bw = ops.V * f
             Cg = cap.C_ga
             gco = [Cg[..., i] for i in range(Cg.shape[-1])]
@@ -335,8 +342,10 @@ class StokesMono:
                 ug_p = x_prev[2 * d + 1]
                 C = cap.C_om
                 coords = [C[..., i] for i in range(C.shape[-1])]
-                f_prev = eval_condition_value(self.fluid.f_u, coords, t_prev)
-                f_next = eval_condition_value(self.fluid.f_u, coords, t_next)
+                fu = self.fluid.f_u
+                fu_d = fu[d] if isinstance(fu, (tuple, list)) else fu
+                f_prev = eval_condition_value(fu_d, coords, t_prev)
+                f_next = eval_condition_value(fu_d, coords, t_next)
                 load = ops.V * (theta * f_next + (1 - theta) * f_prev)
                 bw = mass * uw_p - (1 - theta) * self._visc(d, uw_p, ug_p) + load
                 if extra_mom is not None:

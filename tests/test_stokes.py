@@ -162,3 +162,53 @@ def test_traction_cut_bc():
     assert resid < 1e-7, resid
     for d_ in range(2):
         assert np.isfinite(np.asarray(solver.velocity(d_))).all()
+
+
+def test_periodic_channel_poiseuille():
+    """Streamwise-periodic channel driven by a body force: periodic
+    operators wrap the pressure gradient/divergence stencils and the
+    Periodic velocity BC ties the wrap cells; u converges to the parabolic
+    profile u(y) = y(H-y)/(2 mu) (reference Periodic handling,
+    stokes.jl:867-1471)."""
+    from penguin_tpu.solvers.stokes import PinPressureGauge, StokesMono
+
+    n, L = 16, 1.0
+    mu = 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    per = (True, False)
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0], periodic=per),
+                    pt.make_diffusion_ops(caps[1], periodic=per)),
+        capacity_p=caps[2],
+        operator_p=pt.make_diffusion_ops(caps[2], periodic=per),
+        mu=mu, rho=1.0,
+        f_u=(lambda x, y, z: 1.0, lambda x, y, z: 0.0),
+        f_p=lambda x, y, z: 0.0,
+    )
+    wall, perio = pt.Dirichlet(0.0), pt.Periodic()
+    bc_ux = pt.BorderConditions({"left": perio, "right": perio,
+                                 "bottom": wall, "top": wall})
+    bc_uy = pt.BorderConditions({"left": perio, "right": perio,
+                                 "bottom": wall, "top": wall})
+    solver = StokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                        pt.Dirichlet(0.0))
+    solver.solve(method="lstsq")
+
+    ux = np.asarray(solver.velocity(0))[:n, :n]
+    y = np.asarray(caps[0].C_om[..., 1])[:n, :n]
+    # the discrete walls sit at the first/last cell centers (y = h and
+    # y = L, the staggered-layout wall semantics): the discrete solution
+    # is the exact parabola through those roots
+    h = L / n
+    u_exact = (y - h) * (L - y) / (2 * mu)
+    assert np.abs(ux - u_exact).max() < 1e-10, np.abs(ux - u_exact).max()
+    # streamwise invariance (periodic solution is x-independent)
+    assert np.abs(ux - ux.mean(axis=0, keepdims=True)).max() < 1e-10
