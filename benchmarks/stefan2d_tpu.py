@@ -20,7 +20,7 @@ from penguin_tpu.front_tracking import FrontTracker
 from penguin_tpu.solvers.stefan2d import StefanMono2D
 
 
-def main(n=64, nm=64, dtype=jnp.float32):
+def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
     S = 1.0
     St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
     T_inf = -St
@@ -48,16 +48,15 @@ def main(n=64, nm=64, dtype=jnp.float32):
 
     t0w = time.time()
     solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
-                 interior_fluid=False, method="bicgstab", p=4, s=1)
+                 interior_fluid=False, method="bicgstab", jac=jac, p=4, s=1)
     wall = time.time() - t0w
     iters = int(solver.iters_log.sum())
-    print(f"grid {n}x{n}, {nm} markers, {len(solver.iters_log)} steps, "
-          f"{iters} GN iterations")
-    print(f"total {wall:.2f}s (incl. compile) -> per GN iteration "
-          f"(geometry rebuild + solve + Jacobian): see second run")
+    print(f"[jac={jac}] grid {n}x{n}, {nm} markers, "
+          f"{len(solver.iters_log)} steps, {iters} GN iterations")
+    print(f"total {wall:.2f}s (incl. compile)")
     t0w = time.time()
     solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
-                 interior_fluid=False, method="bicgstab", p=4, s=1)
+                 interior_fluid=False, method="bicgstab", jac=jac, p=4, s=1)
     wall = time.time() - t0w
     iters = int(solver.iters_log.sum())
     print(f"cached: {wall:.2f}s for {iters} GN iterations -> "
@@ -65,4 +64,5 @@ def main(n=64, nm=64, dtype=jnp.float32):
 
 
 if __name__ == "__main__":
-    main()
+    main(jac="autodiff")
+    main(jac="intercept")

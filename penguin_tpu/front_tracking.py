@@ -43,6 +43,7 @@ __all__ = [
     "smooth_displacements",
     "segment_parameters",
     "segment_cell_intersections",
+    "segment_cell_intersection_moments",
     "intercept_jacobian",
     "update_front_with_intercept_displacements",
 ]
@@ -288,6 +289,49 @@ def segment_cell_intersections(mesh, markers):
     t_in = jnp.maximum(jnp.maximum(txm, tym), 0.0)
     t_out = jnp.minimum(jnp.minimum(txM, tyM), 1.0)
     return jnp.maximum(t_out - t_in, 0.0) * seg_len[None, None, :]
+
+
+def segment_cell_intersection_moments(mesh, markers):
+    """Zeroth and first parametric moments of each segment∩cell interval:
+    ``L0 = ∫ ds`` (the intersection length) and ``L1 = ∫ t ds`` with t the
+    segment parameter (0 at the start marker).  L1 weights a *linear* tilt
+    of the segment — the exact sensitivity of swept area to moving one
+    endpoint (marker i sweeps L1 on its incoming segment i-1 and L0-L1 on
+    its outgoing segment i)."""
+    import numpy as _np
+
+    a, b = _segments(markers)
+    d = b - a
+    seg_len = jnp.linalg.norm(d, axis=-1)
+
+    nx, ny = mesh.n[:2]
+    lox = jnp.asarray(_np.asarray(mesh.nodes[0][:-1])).reshape(nx, 1, 1)
+    hix = jnp.asarray(_np.asarray(mesh.nodes[0][1:])).reshape(nx, 1, 1)
+    loy = jnp.asarray(_np.asarray(mesh.nodes[1][:-1])).reshape(1, ny, 1)
+    hiy = jnp.asarray(_np.asarray(mesh.nodes[1][1:])).reshape(1, ny, 1)
+
+    def axis_window(p0, dd, lo, hi):
+        dd_safe = jnp.where(jnp.abs(dd) > 1e-300, dd, 1.0)
+        t0 = (lo - p0) / dd_safe
+        t1 = (hi - p0) / dd_safe
+        tmin = jnp.minimum(t0, t1)
+        tmax = jnp.maximum(t0, t1)
+        inside = (p0 >= lo) & (p0 <= hi)
+        tmin = jnp.where(jnp.abs(dd) > 1e-300, tmin,
+                         jnp.where(inside, -jnp.inf, jnp.inf))
+        tmax = jnp.where(jnp.abs(dd) > 1e-300, tmax,
+                         jnp.where(inside, jnp.inf, -jnp.inf))
+        return tmin, tmax
+
+    txm, txM = axis_window(a[None, None, :, 0], d[None, None, :, 0], lox, hix)
+    tym, tyM = axis_window(a[None, None, :, 1], d[None, None, :, 1], loy, hiy)
+    t_in = jnp.clip(jnp.maximum(txm, tym), 0.0, 1.0)
+    t_out = jnp.clip(jnp.minimum(txM, tyM), 0.0, 1.0)
+    span = jnp.maximum(t_out - t_in, 0.0)
+    L0 = span * seg_len[None, None, :]
+    L1 = jnp.where(span > 0, 0.5 * (t_out**2 - t_in**2), 0.0) \
+        * seg_len[None, None, :]
+    return L0, L1
 
 
 def intercept_jacobian(mesh, markers, density=1.0):

@@ -118,11 +118,21 @@ class StefanMono2D(_ScalarSolverBase):
               enable_stencil_fusion=True,
               smooth_window=5, smooth_passes=1,
               extrapolation_factor=0.8, max_disp_cells=0.5,
+              jac="autodiff",
               p=4, s=1, jac_p=4, jac_s=1):
         """``front``: FrontTracker (markers define the *solid/fluid*
         polygon; ``interior_fluid`` chooses which side is the simulated
         phase).  Returns final temperature; marker history in
-        ``self.marker_log``."""
+        ``self.marker_log``.
+
+        ``jac``: ``"autodiff"`` differentiates the cut-cell volume
+        quadrature exactly (jacfwd, one JVP per marker); ``"intercept"``
+        uses the analytic intercept Jacobian dV_cell/dd_i =
+        sign/2 (|seg_{i-1} ∩ cell| + |seg_i ∩ cell|) — each marker carries
+        half of its two adjacent segments (front_tracking.jl:2630-2678) —
+        which is one Liang-Barsky clipping pass instead of nm quadrature
+        JVPs (a large speedup for many markers at equal converged fronts
+        on smooth interfaces)."""
         dt = self.dt
         K = int(np.ceil((t_end - t_start) / dt - 1e-12))
         max_iter, tol, reltol, alpha = newton_params
@@ -190,7 +200,24 @@ class StefanMono2D(_ScalarSolverBase):
                 F = _box3_filter(F)
             return F.ravel()
 
-        jac_fn = jax.jacfwd(vol_residual)
+        if jac == "intercept":
+            from ..front_tracking import segment_cell_intersection_moments
+
+            def jac_fn(d, mk_a, normals):
+                # exact linear-tilt sensitivity: moving marker i sweeps the
+                # triangle-weighted strips of its two adjacent segments —
+                # weight t on incoming segment i-1 (i is its end), 1-t on
+                # outgoing segment i (i is its start)
+                mk_b = mk_a + d[:, None] * normals
+                L0, L1 = segment_cell_intersection_moments(mesh, mk_b)
+                Jm = jnp.roll(L1, 1, axis=2) + (L0 - L1)
+                Jm = jnp.pad(Jm, ((0, 1), (0, 1), (0, 0)))
+                Jm = -rhoL * sign * Jm
+                if enable_stencil_fusion:
+                    Jm = jax.vmap(_box3_filter, in_axes=2, out_axes=2)(Jm)
+                return Jm.reshape(-1, Jm.shape[-1])
+        else:
+            jac_fn = jax.jacfwd(vol_residual)
         max_disp = max_disp_cells * min(mesh.h[:2])
 
         def gn_step(Told, mk_a, d0, t):

@@ -119,3 +119,47 @@ def test_frank_disk_geometric_update():
     assert radii.mean() > R0 + 0.01
     assert radii.std() / radii.mean() < 0.01
     assert abs(radii.mean() - R_exact) / R_exact < 0.02, (radii.mean(), R_exact)
+
+
+@pytest.mark.slow
+def test_frank_disk_intercept_jacobian():
+    """jac='intercept' (analytic segment-moment Jacobian, one clipping pass
+    instead of nm quadrature JVPs) tracks the similarity radius like the
+    autodiff Jacobian."""
+    S = 1.0
+    St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
+    T_inf = -St
+    L, center = 8.0, (4.0, 4.0)
+    nx = ny = 32
+    mesh = pt.Mesh((nx, ny), (L, L), (0.0, 0.0))
+    t0, dt = 1.0, 0.02
+    R0 = S * np.sqrt(t0)
+
+    def T_analytic(x, y, t):
+        r = np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2)
+        s = r / np.sqrt(t)
+        val = T_inf * (1 - exp1(np.maximum(s**2 / 4, 1e-12)) / exp1(S**2 / 4))
+        return np.where(s >= S, val, 0.0)
+
+    front = FrontTracker().create_circle(center, R0, n=32)
+    cap0 = pt.compute_capacity(lambda x, y: -front.sdf(x, y), mesh, p=4, s=1)
+    C = np.asarray(cap0.C_om)
+    Tw0 = jnp.asarray(T_analytic(C[..., 0], C[..., 1], t0))
+    bc_b = pt.BorderConditions(
+        {k: pt.Dirichlet(float(T_inf)) for k in ("left", "right", "top", "bottom")}
+    )
+    phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                     lambda x, y, z, t: 0.0, 1.0)
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, 1.0))
+    solver = StefanMono2D(phase, bc_b, pt.Dirichlet(0.0), dt,
+                          (Tw0, jnp.zeros(mesh.np_shape)), mesh, "BE")
+    solver.solve(front, 0.0, 0.1 - dt / 2, ic,
+                 newton_params=(12, 1e-4, 1e-6, 1.0),
+                 interior_fluid=False, method="bicgstab", jac="intercept",
+                 p=4, s=1)
+    mk = np.asarray(solver.markers)
+    radii = np.sqrt((mk[:, 0] - center[0]) ** 2 + (mk[:, 1] - center[1]) ** 2)
+    R_exact = S * np.sqrt(t0 + solver.residual_log.shape[0] * dt)
+    assert abs(radii.mean() - R_exact) / R_exact < 0.02
+    assert radii.std() / radii.mean() < 0.02
