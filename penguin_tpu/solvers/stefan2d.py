@@ -430,6 +430,7 @@ class StefanDiph2D(_ScalarSolverBase):
               enable_stencil_fusion=True,
               smooth_window=5, smooth_passes=1,
               extrapolation_factor=0.8, max_disp_cells=0.5,
+              jac="autodiff",
               p=4, s=1, jac_p=4, jac_s=1):
         """``latent_sign``: +1 when phase-1 growth *absorbs* latent heat
         (melting into phase 1, the 1D reference bookkeeping), -1 when
@@ -485,7 +486,21 @@ class StefanDiph2D(_ScalarSolverBase):
                 F = _box3_filter(F)
             return F.ravel()
 
-        jac_fn = jax.jacfwd(vol_residual)
+        if jac == "intercept":
+            from ..front_tracking import segment_cell_intersection_moments
+
+            def jac_fn(d, mk_a, normals):
+                # analytic linear-tilt sensitivity (see StefanMono2D.solve)
+                mk_b = mk_a + d[:, None] * normals
+                L0, L1 = segment_cell_intersection_moments(mesh, mk_b)
+                Jm = jnp.roll(L1, 1, axis=2) + (L0 - L1)
+                Jm = jnp.pad(Jm, ((0, 1), (0, 1), (0, 0)))
+                Jm = -latent_sign * rhoL * sign * Jm
+                if enable_stencil_fusion:
+                    Jm = jax.vmap(_box3_filter, in_axes=2, out_axes=2)(Jm)
+                return Jm.reshape(-1, Jm.shape[-1])
+        else:
+            jac_fn = jax.jacfwd(vol_residual)
         max_disp = max_disp_cells * min(mesh.h[:2])
 
         def gn_step(Xold, mk_a, d0, t):

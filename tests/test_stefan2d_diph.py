@@ -13,7 +13,8 @@ from penguin_tpu.solvers.stefan2d import StefanDiph2D
 
 
 @pytest.mark.slow
-def test_frank_disk_diphasic():
+@pytest.mark.parametrize("jac", ["autodiff", "intercept"])
+def test_frank_disk_diphasic(jac):
     S = 1.0
     St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
     T_inf = -St
@@ -56,7 +57,7 @@ def test_frank_disk_diphasic():
                  newton_params=(10, 1e-4, 1e-6, 1.0),
                  interior_phase1=True, latent_sign=-1.0,
                  smooth_window=7, smooth_passes=2,
-                 extrapolation_factor=0.5, p=4, s=1)
+                 extrapolation_factor=0.5, jac=jac, p=4, s=1)
 
     mk = np.asarray(solver.markers)
     radii = np.sqrt((mk[:, 0] - center[0]) ** 2 + (mk[:, 1] - center[1]) ** 2)
