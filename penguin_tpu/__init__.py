@@ -45,6 +45,8 @@ from .boundary import (
     InterfaceConditions,
 )
 from .phase import Phase, Fluid
+from .checkpoint import (checkpoint_solver, load_checkpoint, restore_solver,
+                         save_checkpoint)
 from .convergence import check_convergence, check_convergence_diph, lp_norm
 
 __all__ = [
@@ -70,6 +72,10 @@ __all__ = [
     "InterfaceConditions",
     "Phase",
     "Fluid",
+    "save_checkpoint",
+    "load_checkpoint",
+    "checkpoint_solver",
+    "restore_solver",
     "check_convergence",
     "check_convergence_diph",
     "lp_norm",

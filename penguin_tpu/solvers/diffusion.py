@@ -133,7 +133,11 @@ class DiffusionUnsteadyMono(_ScalarSolverBase):
                                 masks=masks)
 
     def solve(self, t_end, method="auto", tol=1e-12, maxiter=None,
-              keep_states=True):
+              keep_states=True, t_start=0.0, initial_solve=True):
+        """``t_end`` is the duration from ``t_start``.  ``initial_solve``
+        performs the reference's extra solve at the start time
+        (diffusion.jl loop semantics); pass False when resuming from a
+        checkpoint so the step count continues exactly."""
         dt = self.dt
         n_steps = _num_steps(dt, t_end)
         nflat = sum(np.prod(np.asarray(u.shape)) for u in self.u0)
@@ -156,10 +160,10 @@ class DiffusionUnsteadyMono(_ScalarSolverBase):
 
         @jax.jit
         def run(u0):
-            x0 = step(u0, 0.0)
+            x0 = step(u0, t_start) if initial_solve else u0
 
             def body(x, k):
-                t = (k + 1.0) * dt
+                t = t_start + (k + 1.0) * dt
                 xn = step(x, t)
                 return xn, xn
 
@@ -236,7 +240,7 @@ class DiffusionUnsteadyDiph(_ScalarSolverBase):
                                 border2=border2, masks=masks)
 
     def solve(self, t_end, method="auto", tol=1e-12, maxiter=None,
-              keep_states=False):
+              keep_states=False, t_start=0.0, initial_solve=True):
         dt = self.dt
         n_steps = _num_steps(dt, t_end)
         nflat = sum(np.prod(np.asarray(u.shape)) for u in self.u0)
@@ -257,10 +261,10 @@ class DiffusionUnsteadyDiph(_ScalarSolverBase):
 
         @jax.jit
         def run(u0):
-            x0 = step(u0, 0.0)
+            x0 = step(u0, t_start) if initial_solve else u0
 
             def body(x, k):
-                t = (k + 1.0) * dt
+                t = t_start + (k + 1.0) * dt
                 xn = step(x, t)
                 return xn, None
 
