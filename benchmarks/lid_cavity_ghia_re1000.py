@@ -1,0 +1,109 @@
+"""Lid-driven cavity Re=1000 at 128² vs Ghia et al. (1982) — the
+reference's headline NS validation case
+(benchmark/navierstokes/lid_driven_cavity_steady.jl:8-22 + ghia/*.ghia).
+
+At this size the saddle point has ~83k unknowns, far past dense
+factorization: the matrix-free path time-marches the CN/AB2 unsteady
+solver (warm-started GMRES per step, mass-dominated and well-conditioned
+for moderate dt) until the flow is statistically steady.
+
+Run (TPU recommended):  python benchmarks/lid_cavity_ghia_re1000.py [n] [t_end]
+
+Recorded result (TPU v5e, f32, 128², dt=2.5e-3, steady by t~90, 281 s wall
+for 40k steps ~ 7 ms/step): max|u - ghia| = 0.0625, max|v - ghia| = 0.0433,
+min u = -0.346 (Ghia -0.383), max v = +0.333 (Ghia +0.371) — the residual
+gap is the staggered first-cell wall placement (no-slip imposed at the
+first cell center).  Note: f64 is emulated on v5e and crashes the TPU
+worker at this problem size; run f64 variants on CPU.
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))) if "examples" in __file__ else _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.navierstokes import NavierStokesMono
+from penguin_tpu.solvers.stokes import PinPressureGauge
+
+# Ghia, Ghia & Shin (1982), Table I/II, Re=1000
+GHIA_Y = np.array([0.0, 0.0547, 0.0625, 0.0703, 0.1016, 0.1719, 0.2813,
+                   0.4531, 0.5, 0.6172, 0.7344, 0.8516, 0.9531, 0.9609,
+                   0.9688, 0.9766, 1.0])
+GHIA_U = np.array([0.0, -0.18109, -0.20196, -0.22220, -0.29730, -0.38289,
+                   -0.27805, -0.10648, -0.06080, 0.05702, 0.18719, 0.33304,
+                   0.46604, 0.51117, 0.57492, 0.65928, 1.0])
+GHIA_X = np.array([0.0, 0.0625, 0.0703, 0.0781, 0.0938, 0.1563, 0.2266,
+                   0.2344, 0.5, 0.8047, 0.8594, 0.9063, 0.9453, 0.9531,
+                   0.9609, 0.9688, 1.0])
+GHIA_V = np.array([0.0, 0.27485, 0.29012, 0.30353, 0.32627, 0.37095,
+                   0.33075, 0.32235, 0.02526, -0.31966, -0.42665, -0.51550,
+                   -0.39188, -0.33714, -0.27669, -0.21388, 0.0])
+
+
+def run(n=128, t_end=30.0, Re=1000.0, dt=2.5e-3, dtype=None):
+    L = 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    dtype = dtype or jnp.float32
+    caps = [pt.compute_capacity(body, m, p=4, s=1, dtype=dtype)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]), pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1.0 / Re, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    noslip, lid = pt.Dirichlet(0.0), pt.Dirichlet(1.0)
+    bc_ux = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": lid})
+    bc_uy = pt.BorderConditions(
+        {k: noslip for k in ("left", "right", "bottom", "top")})
+    s = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                         pt.Dirichlet(0.0))
+
+    t0 = time.time()
+    x = None
+    chunk = 2.0
+    t = 0.0
+    while t < t_end - 1e-9:
+        span = min(chunk, t_end - t)
+        x = s.solve_unsteady(dt, span, scheme="CN", method="gmres",
+                             x0=x, tol=1e-7 if dtype == jnp.float32 else 1e-10,
+                             maxiter=300)
+        t += span
+        ux = np.asarray(s.velocity(0))
+        print(f"t={t:5.1f}  wall={time.time() - t0:7.1f}s  "
+              f"min centerline u={ux[n // 2, :n].min():+.4f}", flush=True)
+
+    ux = np.asarray(s.velocity(0))
+    uy = np.asarray(s.velocity(1))
+    ys = np.asarray(mesh_ux.nodes[1])[:n]
+    xs = np.asarray(mesh_uy.nodes[0])[:n]
+    u_c = ux[n // 2, :n]
+    v_c = uy[:n, n // 2]
+    u_g = np.interp(ys, GHIA_Y, GHIA_U)
+    v_g = np.interp(xs, GHIA_X, GHIA_V)
+    print("\ny, u_sim, u_ghia (vertical centerline):")
+    for yy, us, ug in zip(ys[::8], u_c[::8], u_g[::8]):
+        print(f"  {yy:.3f}  {us:+.4f}  {ug:+.4f}")
+    print(f"\nmax|u - ghia| = {np.abs(u_c - u_g).max():.4f}   "
+          f"max|v - ghia| = {np.abs(v_c - v_g).max():.4f}")
+    print(f"min u = {u_c.min():+.4f} (Ghia: -0.38289)   "
+          f"max v = {v_c.max():+.4f} (Ghia: +0.37095)")
+    return u_c, v_c
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+    run(n=n, t_end=t_end)

@@ -24,7 +24,7 @@ from .boundary import (
     GibbsThomson,
     eval_condition_value,
 )
-from .operators import _shift_p, _zlast, dm  # reuse axis helpers
+from .operators import _shift_p, _zlast  # reuse axis helpers
 
 __all__ = [
     "border_info",

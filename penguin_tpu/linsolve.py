@@ -16,7 +16,6 @@ column ``i`` are structurally nonzero) — and solves are:
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
@@ -72,7 +71,7 @@ class DenseFactorSolver:
         A = A_raw * d[:, None] * d[None, :] + jnp.diag(1.0 - d)
         self.lu, self.piv = jax.scipy.linalg.lu_factor(A)
 
-    def solve(self, b):
+    def solve(self, b, x0=None):
         flat_b, _ = ravel_pytree(b)
         flat_b = jnp.where(self.keep, flat_b, 0.0)
         x = jax.scipy.linalg.lu_solve((self.lu, self.piv), flat_b)

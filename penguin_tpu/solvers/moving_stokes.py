@@ -24,7 +24,7 @@ from ..assembly import eval_condition_value, _col_G_nz
 from ..boundary import Dirichlet
 from ..capacity import compute_capacity_spacetime
 from ..operators import dm, dm_t
-from .moving_diffusion import _direct_solve, psi_weights, slice_spacetime
+from .moving_diffusion import psi_weights, slice_spacetime
 from .stokes import PinPressureGauge, VelocityBorder
 
 __all__ = ["MovingStokesMono"]

@@ -25,8 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..assembly import eval_condition_value
-from ..linsolve import DenseFactorSolver, materialize_dense, solve_linear
+from ..linsolve import DenseFactorSolver, solve_linear
 from ..operators import dp, sm, sp
 from .stokes import StokesMono
 
@@ -112,7 +111,7 @@ class NavierStokesMono(StokesMono):
                 t = k * dt
                 conv_c = self.conv_vectors(xc)
                 b = full_rhs(xc, conv_c, conv_p, first, t)
-                xn = lin_solve(b)
+                xn = lin_solve(b, xc)
                 return (xn, conv_c, jnp.asarray(False)), None
 
             (xf, _, _), _ = jax.lax.scan(

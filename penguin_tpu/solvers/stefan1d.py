@@ -34,7 +34,6 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from ..assembly import border_info
-from ..boundary import BorderConditions
 from ..capacity import compute_capacity_spacetime
 from .diffusion import _ScalarSolverBase
 from .moving_diffusion import (

@@ -42,7 +42,7 @@ from ..assembly import (
 )
 from ..boundary import Dirichlet, Neumann, Outflow, Periodic, Symmetry, Traction
 from ..linsolve import DenseFactorSolver, solve_linear
-from ..operators import dm, dm_t, _zlast, _shift_p, _shift_m
+from ..operators import dm, dm_t, _shift_p, _shift_m
 
 __all__ = ["StokesMono", "PinPressureGauge", "MeanPressureGauge",
            "VelocityBorder", "stokes_divergence"]

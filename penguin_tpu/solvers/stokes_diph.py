@@ -18,17 +18,14 @@ borders.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
-from ..assembly import coefficient_diag, eval_condition_value, _col_G_nz
+from ..assembly import eval_condition_value
 from ..boundary import Dirichlet
 from ..linsolve import solve_linear
 from .stokes import (
-    MeanPressureGauge,
     PinPressureGauge,
     StokesMono,
-    VelocityBorder,
     stokes_divergence,
 )
 

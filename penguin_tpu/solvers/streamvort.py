@@ -10,8 +10,6 @@ convection rebuilt from the current velocity (:216-242).
 
 from __future__ import annotations
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..assembly import (
