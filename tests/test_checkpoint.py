@@ -81,3 +81,26 @@ def test_diagnostics_timers_and_history():
     assert hist.n_matvec > 0
     res = hist.record_final(b, x)
     assert res < 1e-6
+
+
+def test_checkpoint_front_tracking_state(tmp_path):
+    """Moving-interface solvers snapshot markers/xf plus their logs."""
+    from penguin_tpu.front_tracking import FrontTracker
+
+    class FakeStefan:
+        pass
+
+    s1 = FakeStefan()
+    s1.x = (jnp.ones((5, 5)), jnp.zeros((5, 5)))
+    s1.markers = FrontTracker().create_circle((0.0, 0.0), 1.0, n=16).markers
+    s1.xf = 0.75
+    s1.residual_log = np.array([1e-3, 1e-5])
+    p = tmp_path / "front.npz"
+    checkpoint_solver(p, s1, t=0.5, extra={"note": "mid-run"})
+
+    s2 = FakeStefan()
+    meta = restore_solver(p, s2)
+    assert meta["note"] == "mid-run" and meta["t"] == 0.5
+    assert np.allclose(np.asarray(s2.markers), np.asarray(s1.markers))
+    assert s2.xf == 0.75
+    assert np.allclose(np.asarray(s2.residual_log), [1e-3, 1e-5])
