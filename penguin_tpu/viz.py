@@ -20,6 +20,7 @@ __all__ = [
     "plot_interface_evolution",
     "plot_residuals",
     "plot_timestep_history",
+    "plot_isotherms",
     "interface_spectrum",
 ]
 
@@ -140,6 +141,36 @@ def plot_timestep_history(history, filename=None):
         fig.savefig(filename, dpi=120, bbox_inches="tight")
         plt.close(fig)
         return filename
+    return fig
+
+
+def plot_isotherms(solver, mesh, body=None, levels=None, state_i=None,
+                   filename=None):
+    """Contour lines of equal temperature (plot_isotherms,
+    vizualize.jl:637-720)."""
+    plt = _mpl()
+    import numpy as _np
+
+    x = solver.x if state_i is None else solver.states[state_i]
+    T = _np.asarray(x[0])
+    nx, ny = mesh.n[:2]
+    X = _np.asarray(mesh.centers[0])[:nx]
+    Y = _np.asarray(mesh.centers[1])[:ny]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    cs = ax.contour(X, Y, T[:nx, :ny].T,
+                    levels=levels if levels is not None else 10,
+                    cmap="coolwarm")
+    ax.clabel(cs, inline=True, fontsize=7)
+    if body is not None:
+        xx, yy = _np.meshgrid(X, Y, indexing="ij")
+        phi = _np.asarray(body(xx, yy))
+        ax.contour(X, Y, phi.T, levels=[0.0], colors="k", linewidths=1.5)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_title("isotherms")
+    if filename:
+        fig.savefig(filename, dpi=120, bbox_inches="tight")
+        plt.close(fig)
     return fig
 
 

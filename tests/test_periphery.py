@@ -84,3 +84,28 @@ def test_viz_and_vtk(tmp_path):
 
     amp = viz.interface_spectrum(markers_circle((2, 2), 1.0, 64), (2, 2))
     assert amp.shape[0] == 33 and amp[1:].max() < 1e-10
+
+
+def test_isotherms_and_spectrum(tmp_path):
+    """plot_isotherms (vizualize.jl:637-720) renders; interface_spectrum of
+    a 6-lobe crystal peaks at wavenumber 6."""
+    from penguin_tpu import viz
+    from penguin_tpu.front_tracking import markers_crystal
+
+    mesh = pt.Mesh((16, 16), (2.0, 2.0), (0.0, 0.0))
+    body = pt.geometry.circle((1.0, 1.0), 0.6)
+    cap = pt.compute_capacity(body, mesh)
+    from penguin_tpu.solvers import DiffusionSteadyMono
+    bc_b = pt.BorderConditions({k: pt.Dirichlet(0.0)
+                                for k in ("left", "right", "top", "bottom")})
+    phase = pt.Phase(cap, pt.make_diffusion_ops(cap),
+                     lambda x, y, z: 1.0, 1.0)
+    s = DiffusionSteadyMono(phase, bc_b, pt.Dirichlet(0.0))
+    s.solve(method="direct")
+    out = tmp_path / "iso.png"
+    viz.plot_isotherms(s, mesh, body=body, filename=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+    mk = markers_crystal((0.0, 0.0), 1.0, n=96, n_lobes=6, amplitude=0.1)
+    amp = viz.interface_spectrum(mk, (0.0, 0.0))
+    assert int(np.argmax(amp[1:])) + 1 == 6
