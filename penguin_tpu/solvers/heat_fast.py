@@ -145,9 +145,9 @@ class FastHeatBE:
         V_active = jnp.where(active, V, 0.0)
 
         @jax.jit
-        def step(Tw):
+        def step(Tw, x0=None):
             b = V_active * Tw + rhs_const
-            x, iters = cg(b, Tw)
+            x, iters = cg(b, Tw if x0 is None else x0)
             return x, iters
 
         self.step = step
@@ -155,13 +155,18 @@ class FastHeatBE:
         self.Tg = Tg
         self.active = active
         self.dtype = dtype
+
         @jax.jit
         def run(T, n_steps):
-            def body(_, T):
-                Tn, _it = step(T)
-                return Tn
+            # linear-in-time extrapolated warm start (x0 = 2Tn - Tn-1)
+            # typically saves ~1 CG iteration per step
+            def body(_, carry):
+                T, Tprev = carry
+                Tn, _it = step(T, 2.0 * T - Tprev)
+                return (Tn, T)
 
-            return jax.lax.fori_loop(0, n_steps, body, T)
+            Tn, _ = jax.lax.fori_loop(0, n_steps, body, (T, T))
+            return Tn
 
         self._run = run
 
