@@ -158,14 +158,15 @@ class FastHeatBE:
 
         @jax.jit
         def run(T, n_steps):
-            # linear-in-time extrapolated warm start (x0 = 2Tn - Tn-1)
-            # typically saves ~1 CG iteration per step
+            # quadratically extrapolated warm start
+            # (x0 = 3Tn - 3Tn-1 + Tn-2) saves ~1-2 CG iterations per step;
+            # cubic extrapolation regresses in f32 (noise amplification)
             def body(_, carry):
-                T, Tprev = carry
-                Tn, _it = step(T, 2.0 * T - Tprev)
-                return (Tn, T)
+                T, T1, T2 = carry
+                Tn, _it = step(T, 3.0 * T - 3.0 * T1 + T2)
+                return (Tn, T, T1)
 
-            Tn, _ = jax.lax.fori_loop(0, n_steps, body, (T, T))
+            Tn, _, _ = jax.lax.fori_loop(0, n_steps, body, (T, T, T))
             return Tn
 
         self._run = run
