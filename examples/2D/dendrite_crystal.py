@@ -41,7 +41,7 @@ solver = StefanMono2D(phase, bc_b, gt, dt, (Tw0, jnp.zeros(mesh.np_shape)),
 solver.solve(front, 0.0, 0.05, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
              interior_fluid=False, method="bicgstab",
              smooth_window=7, smooth_passes=2, extrapolation_factor=0.5,
-             max_disp_cells=0.4, p=4, s=1)
+             max_disp_cells=0.4, jac="intercept", p=4, s=1)
 
 mk = np.asarray(solver.markers)
 r = np.sqrt((mk[:, 0] - 4) ** 2 + (mk[:, 1] - 4) ** 2)
