@@ -316,3 +316,36 @@ class NavierStokesMono(StokesMono):
                 break
         self.x = x
         return self.x
+
+    def solve_steady_marching(self, dt, t_max=100.0, chunk=2.0, tol=1e-6,
+                              scheme="CN", method="gmres", lin_tol=1e-7,
+                              maxiter=300, x0=None, verbose=False):
+        """Steady state by pseudo-time continuation — the scalable
+        matrix-free path for problems past dense factorization (the
+        Picard/Newton steady solvers materialize the saddle point; GMRES
+        alone stagnates on the unpreconditioned steady system, while the
+        unsteady system is mass-dominated and well-conditioned).  Marches
+        ``solve_unsteady`` in chunks until ``max|Δu|/chunk < tol``.
+        Validated at 128² Re=1000 against the Ghia et al. profiles
+        (benchmarks/lid_cavity_ghia_re1000.py)."""
+        x = x0
+        t = 0.0
+        self.residual_history = []
+        while t < t_max - 1e-12:
+            span = min(chunk, t_max - t)
+            x_prev = x
+            x = self.solve_unsteady(dt, span, scheme=scheme, method=method,
+                                    x0=x, tol=lin_tol, maxiter=maxiter)
+            t += span
+            if x_prev is not None:
+                rate = max(
+                    float(jnp.abs(a - c).max())
+                    for a, c in zip(x[:2 * self.N], x_prev[:2 * self.N])
+                ) / span
+                self.residual_history.append(rate)
+                if verbose:
+                    print(f"marching t={t:.2f}: |du/dt|={rate:.3e}")
+                if rate < tol:
+                    break
+        self.x = x
+        return self.x

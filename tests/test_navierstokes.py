@@ -159,3 +159,45 @@ def test_unsteady_picard_matches_ab2_small_dt():
     a = np.asarray(s1.velocity(0))[:n, :n]
     b = np.asarray(s2.velocity(0))[:n, :n]
     assert np.abs(a - b).max() < 2e-3
+
+
+@pytest.mark.slow
+def test_steady_marching_matches_picard():
+    """solve_steady_marching (matrix-free pseudo-time continuation) reaches
+    the same cavity steady state as dense Picard."""
+    n, Re = 16, 100.0
+    L = 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1.0 / Re, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    noslip, lid = pt.Dirichlet(0.0), pt.Dirichlet(1.0)
+    bc_ux = pt.BorderConditions(
+        {"left": noslip, "right": noslip, "bottom": noslip, "top": lid})
+    bc_uy = pt.BorderConditions(
+        {k: noslip for k in ("left", "right", "bottom", "top")})
+
+    ref = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                           pt.Dirichlet(0.0))
+    ref.solve_steady(max_iter=40, tol=1e-10, method="lstsq")
+    u_ref = np.asarray(ref.velocity(0))
+
+    march = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                             pt.Dirichlet(0.0))
+    march.solve_steady_marching(dt=2e-2, t_max=40.0, chunk=4.0, tol=2e-4,
+                                lin_tol=1e-10)
+    u_m = np.asarray(march.velocity(0))
+    assert np.isfinite(u_m).all()
+    assert np.abs(u_m - u_ref).max() < 2e-2, np.abs(u_m - u_ref).max()
