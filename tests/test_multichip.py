@@ -21,3 +21,11 @@ def test_graft_entry_singlechip():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     out.block_until_ready()
+
+
+def test_dryrun_stokes_multichip():
+    """Sharded Stokes saddle-point apply == single-device apply on the
+    8-device virtual mesh."""
+    from penguin_tpu.parallel.sharding import dryrun_stokes_multichip
+
+    dryrun_stokes_multichip(8, grid=(31, 31))
