@@ -202,3 +202,38 @@ def test_volume_redefinition_1d():
     assert np.abs(V1[sel] - V2[sel]).max() < 1e-10
     # cut cells keep a consistent (positive, bounded) volume
     assert (V2[cut] > 0).all() and (V2[cut] <= V1.max() + 1e-12).all()
+
+
+@pytest.mark.slow
+def test_moving_static_body_3d_matches_static_solver():
+    """(3+1)D space-time slab: the moving scheme is dimension-generic
+    (EXCEEDS reference parity — its prescribed-motion assembly is 1D/2D
+    only, advectiondiffusion.jl:279).  Sliver cut cells require the
+    test-grade quadrature (p=8, s=2) for consistent 3D-vs-4D cell
+    classification."""
+    from penguin_tpu.solvers import DiffusionUnsteadyMono
+
+    n, L = 10, 2.0
+    mesh = pt.Mesh((n, n, n), (L, L, L), (0.0, 0.0, 0.0))
+    sphere = pt.geometry.sphere((1.0, 1.0, 1.0), 0.6)
+    body_st = lambda x, y, z, t: sphere(x, y, z)
+    cap = pt.compute_capacity(sphere, mesh)
+    ops = pt.make_diffusion_ops(cap)
+    bc_b = pt.BorderConditions({k: pt.Dirichlet(0.0) for k in
+                                ("left", "right", "top", "bottom",
+                                 "backward", "forward")})
+    phase = pt.Phase(cap, ops, lambda x, y, z, t: 0.0, 1.0)
+    zv = jnp.zeros(mesh.np_shape)
+    dt = 0.5 * (L / n) ** 2
+    t_end = 3.5 * dt
+
+    st = DiffusionUnsteadyMono(phase, bc_b, pt.Dirichlet(1.0), dt, (zv, zv), "BE")
+    st.solve(t_end, method="direct")
+    mv = MovingDiffusionUnsteadyMono(phase, bc_b, pt.Dirichlet(1.0), dt,
+                                     (zv, zv), mesh, "BE")
+    mv.solve(body_st, 0.0, t_end, method="direct", p=8, s=2)
+
+    ct = np.asarray(cap.cell_types)
+    sel = ct != 0
+    err = np.abs(np.asarray(mv.x[0])[sel] - np.asarray(st.x_omega)[sel]).max()
+    assert err < 2e-3, err
