@@ -84,3 +84,75 @@ def test_darcy_linear_pressure():
     vals = ux[W > 0]
     # exact linear pressure -> u_x = 1 on every wet face
     np.testing.assert_allclose(vals, 1.0, atol=1e-9)
+
+
+def test_darcy_unsteady_relaxes_to_steady():
+    """DarcyFlowUnsteady (darcy.jl:45-90): transient pressure relaxes to
+    the steady linear-pressure solution."""
+    from penguin_tpu.solvers.darcy import DarcyFlow, DarcyFlowUnsteady
+
+    mesh = pt.Mesh((32, 8), (1.0, 0.25), (0.0, 0.0))
+    cap = pt.compute_capacity(pt.geometry.full_domain(2), mesh)
+    ops = pt.make_diffusion_ops(cap)
+    lin = pt.Dirichlet(lambda x, y, z: 1.0 - x)
+    bc_b = pt.BorderConditions(
+        {"bottom": lin, "top": lin, "left": lin, "right": lin})
+    phase = pt.Phase(cap, ops, lambda x, y, z: 0.0, 1.0)
+
+    steady = DarcyFlow(phase, bc_b, pt.Dirichlet(0.0))
+    steady.solve(method="direct")
+    p_ref = np.asarray(steady.x_omega)
+
+    phase_t = pt.Phase(cap, ops, lambda x, y, z, t: 0.0, 1.0)
+    z = jnp.zeros(mesh.np_shape)
+    un = DarcyFlowUnsteady(phase_t, bc_b, pt.Dirichlet(0.0), 2e-3, (z, z), "BE")
+    un.solve(0.6, method="direct")
+    p_t = np.asarray(un.x_omega)
+    sel = np.asarray(cap.cell_types) != 0
+    assert np.abs(p_t[sel] - p_ref[sel]).max() < 1e-3
+
+
+def test_stokes_symmetry_half_channel():
+    """Half-channel with a Symmetry top boundary: streamwise-periodic body
+    force flow has zero shear at the symmetry plane (u monotone up to the
+    top row, which mirrors its neighbor) — the Symmetry row semantics of
+    apply_velocity_dirichlet (stokes.jl:867-1471)."""
+    from penguin_tpu.solvers.stokes import PinPressureGauge, StokesMono
+
+    n, L = 16, 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    per = (True, False)
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0], periodic=per),
+                    pt.make_diffusion_ops(caps[1], periodic=per)),
+        capacity_p=caps[2],
+        operator_p=pt.make_diffusion_ops(caps[2], periodic=per),
+        mu=1.0, rho=1.0,
+        f_u=(lambda x, y, z: 1.0, lambda x, y, z: 0.0),
+        f_p=lambda x, y, z: 0.0,
+    )
+    wall, sym, perio = pt.Dirichlet(0.0), pt.Symmetry(), pt.Periodic()
+    bc_ux = pt.BorderConditions({"left": perio, "right": perio,
+                                 "bottom": wall, "top": sym})
+    bc_uy = pt.BorderConditions({"left": perio, "right": perio,
+                                 "bottom": wall, "top": sym})
+    solver = StokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                        pt.Dirichlet(0.0))
+    solver.solve(method="lstsq")
+    ux = np.asarray(solver.velocity(0))[:n, :n]
+    col = ux[n // 2]
+    # zero shear at the symmetry plane: last row mirrors its neighbor
+    assert abs(col[-1] - col[-2]) < 1e-10
+    # monotone half-Poiseuille profile, x-invariant
+    assert np.all(np.diff(col[:-1]) > -1e-12)
+    assert np.abs(ux - ux.mean(axis=0, keepdims=True)).max() < 1e-9
+    uy = np.asarray(solver.velocity(1))[:n, :n]
+    assert np.abs(uy).max() < 1e-9
