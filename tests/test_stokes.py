@@ -212,3 +212,46 @@ def test_periodic_channel_poiseuille():
     assert np.abs(ux - u_exact).max() < 1e-10, np.abs(ux - u_exact).max()
     # streamwise invariance (periodic solution is x-independent)
     assert np.abs(ux - ux.mean(axis=0, keepdims=True)).max() < 1e-10
+
+
+def test_outflow_channel_mass_conservation():
+    """Dirichlet parabolic inflow + Outflow exit: the outflow rows copy the
+    upstream neighbor (zero-gradient), and the exit flux balances the
+    inflow flux (Outflow handling, stokes.jl:867-1471)."""
+    from penguin_tpu.solvers.stokes import PinPressureGauge, StokesMono
+
+    n, L = 16, 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1.0, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    wall = pt.Dirichlet(0.0)
+    inflow = pt.Dirichlet(lambda x, y, z: y * (1.0 - y))
+    bc_ux = pt.BorderConditions({"left": inflow, "right": pt.Outflow(),
+                                 "bottom": wall, "top": wall})
+    bc_uy = pt.BorderConditions({"left": wall, "right": pt.Outflow(),
+                                 "bottom": wall, "top": wall})
+    solver = StokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                        pt.Dirichlet(0.0))
+    solver.solve(method="lstsq")
+    ux = np.asarray(solver.velocity(0))[:n, :n]
+    assert np.isfinite(ux).all()
+    # flux is exactly conserved through every column except the one holding
+    # the pinned pressure DOF (its continuity row is the gauge row)
+    q = ux.sum(axis=1)
+    assert q[1] > 0.05  # flow actually enters
+    assert np.abs(q[1:] - q[1]).max() / q[1] < 1e-9, q
+    # zero-gradient exit: last column equals its upstream neighbor
+    assert np.abs(ux[-1, 1:-1] - ux[-2, 1:-1]).max() < 1e-10
