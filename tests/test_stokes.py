@@ -255,3 +255,44 @@ def test_outflow_channel_mass_conservation():
     assert np.abs(q[1:] - q[1]).max() / q[1] < 1e-9, q
     # zero-gradient exit: last column equals its upstream neighbor
     assert np.abs(ux[-1, 1:-1] - ux[-2, 1:-1]).max() < 1e-10
+
+
+def test_mean_pressure_gauge_hydrostatic():
+    """MeanPressureGauge (stokes.jl:1-17,1472-1510): same hydrostatic
+    solution as the pin gauge, with volume-weighted zero-mean pressure."""
+    from penguin_tpu.solvers.stokes import MeanPressureGauge, StokesMono
+
+    n, L = 12, 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1.0, rho=1.0,
+        f_u=(lambda x, y, z: 0.0, lambda x, y, z: -1.0),  # gravity in -y
+        f_p=lambda x, y, z: 0.0,
+    )
+    wall = pt.Dirichlet(0.0)
+    bc = pt.BorderConditions({k: wall for k in
+                              ("left", "right", "bottom", "top")})
+    solver = StokesMono(fluid, (bc, bc), MeanPressureGauge(), pt.Dirichlet(0.0))
+    solver.solve(method="lstsq")
+    for dcomp in range(2):
+        u = np.asarray(solver.velocity(dcomp))
+        assert np.abs(u).max() < 1e-9  # hydrostatic: no flow
+    p = np.asarray(solver.x[-1])[:n, :n]
+    V = np.asarray(caps[2].V)[:n, :n]
+    # volume-weighted zero mean
+    assert abs((p * V).sum() / V.sum()) < 1e-9
+    # hydrostatic gradient: |dp/dy| = 1 in the interior (the wall-row
+    # pressures are gauge-orphaned, reference trims them)
+    grad = np.diff(p[n // 2])[:-1] / d
+    assert np.allclose(np.abs(grad), 1.0, atol=1e-8), grad[:3]
