@@ -156,3 +156,50 @@ def test_stokes_symmetry_half_channel():
     assert np.abs(ux - ux.mean(axis=0, keepdims=True)).max() < 1e-9
     uy = np.asarray(solver.velocity(1))[:n, :n]
     assert np.abs(uy).max() < 1e-9
+
+
+def test_advdiff_2d_solid_body_rotation():
+    """2D advection by a rotating velocity field: a Gaussian blob's center
+    of mass rotates by ~the analytic angle with near-conserved mass
+    (ConvectionOps C/K flux form in 2D; reference velocity generators
+    utils.jl:62-130)."""
+    from penguin_tpu.solvers import AdvectionDiffusionUnsteadyMono
+
+    n, L = 48, 2.0
+    c = L / 2
+    mesh = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    cap = pt.compute_capacity(pt.geometry.full_domain(2), mesh)
+    C = np.asarray(cap.C_om)
+    x, y = C[..., 0], C[..., 1]
+    omega = 1.0
+    ux = jnp.asarray(-omega * (y - c))
+    uy = jnp.asarray(omega * (x - c))
+    conv = pt.make_convection_ops(cap, (ux, uy), (0 * ux, 0 * uy))
+
+    r0 = 0.5
+    blob = np.exp(-(((x - c - r0) ** 2 + (y - c) ** 2) / 0.02))
+    blob[np.asarray(cap.V) == 0] = 0.0
+    T0 = jnp.asarray(blob)
+    z = jnp.zeros(mesh.np_shape)
+
+    bc0 = pt.Dirichlet(0.0)
+    bc_b = pt.BorderConditions({k: bc0 for k in ("left", "right", "top", "bottom")})
+    phase = pt.Phase(cap, conv, lambda x, y, z, t: 0.0, 1e-4)
+    dt = 2e-3
+    t_end = 0.4  # rotate by 0.4 rad
+    solver = AdvectionDiffusionUnsteadyMono(phase, bc_b, bc0, dt, (T0, z), "CN")
+    solver.solve(t_end, method="bicgstab")
+
+    T = np.asarray(solver.x_omega)
+    V = np.asarray(cap.V)
+    m0 = float((blob * V).sum())
+    m1 = float((T * V).sum())
+    assert abs(m1 - m0) / m0 < 0.02, (m0, m1)
+    cx = float((T * V * x).sum() / m1) - c
+    cy = float((T * V * y).sum() / m1) - c
+    ang = np.arctan2(cy, cx)
+    n_solves = int(np.ceil(t_end / dt - 1e-12)) + 1
+    expected = omega * n_solves * dt
+    assert abs(ang - expected) < 0.05, (ang, expected)
+    rad = np.hypot(cx, cy)
+    assert abs(rad - r0) < 0.05, rad
