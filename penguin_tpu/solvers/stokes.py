@@ -373,6 +373,27 @@ class StokesMono:
             out += [z[d], z[d]]
         return tuple(out) + (jnp.zeros_like(self.fluid.capacity_p.V),)
 
+    def force_diagnostics(self, x=None):
+        """Reaction force on the immersed boundary from the momentum-residual
+        interface terms (compute_navierstokes_force_diagnostics,
+        navierstokes.jl:2977-3058): F_d = Σ Iμ Hᵀ Wꜝ (G uω_d + H uγ_d)."""
+        x = x if x is not None else self.x
+        N = self.N
+        out = []
+        for d in range(N):
+            ops = self.fluid.operator_u[d]
+            q = ops.flux(x[2 * d], x[2 * d + 1])
+            out.append(float(jnp.sum(self.mu_diag[d] * ops.HT(q))))
+        return tuple(out)
+
+    def drag_lift_coefficients(self, u_ref=1.0, l_ref=1.0, x=None):
+        """C_d, C_l = 2 F / (ρ u_ref² l_ref) (navierstokes.jl:3067-3082)."""
+        rho = self.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        F = self.force_diagnostics(x)
+        scale = 0.5 * rho_val * u_ref**2 * l_ref
+        return tuple(f / scale for f in F)
+
     def solve(self, method="auto", tol=1e-10, maxiter=None):
         b = self.rhs_steady()
         self.x = solve_linear(self.apply_steady, b, method=method, tol=tol,

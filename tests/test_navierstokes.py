@@ -201,3 +201,47 @@ def test_steady_marching_matches_picard():
     u_m = np.asarray(march.velocity(0))
     assert np.isfinite(u_m).all()
     assert np.abs(u_m - u_ref).max() < 2e-2, np.abs(u_m - u_ref).max()
+
+
+@pytest.mark.slow
+def test_cylinder_drag_diagnostics():
+    """Force diagnostics on an immersed cylinder in a uniform stream
+    (compute_navierstokes_force_diagnostics, navierstokes.jl:2977-3082):
+    drag along the flow, lift ~ 0 by symmetry, and Stokes-regime drag
+    scales linearly with viscosity."""
+    def solve_drag(mu):
+        n, L = 24, 4.0
+        mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+        d = L / n
+        mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+        mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+        cyl = pt.geometry.circle((2.0 + 0.01, 2.0 + 0.01), 0.5)
+        body = lambda x, y: -cyl(x, y)  # fluid outside the cylinder
+        caps = [pt.compute_capacity(body, m, p=4, s=1)
+                for m in (mesh_ux, mesh_uy, mesh_p)]
+        fluid = pt.Fluid(
+            mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+            capacity_u=(caps[0], caps[1]),
+            operator_u=(pt.make_diffusion_ops(caps[0]),
+                        pt.make_diffusion_ops(caps[1])),
+            capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+            mu=mu, rho=1.0,
+            f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+        )
+        stream, still = pt.Dirichlet(1.0), pt.Dirichlet(0.0)
+        bc_ux = pt.BorderConditions({k: stream for k in
+                                     ("left", "right", "bottom", "top")})
+        bc_uy = pt.BorderConditions({k: still for k in
+                                     ("left", "right", "bottom", "top")})
+        from penguin_tpu.solvers.stokes import StokesMono
+        s = StokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                       pt.Dirichlet(0.0))  # no-slip cylinder
+        s.solve(method="lstsq")
+        return s.force_diagnostics(), s
+
+    (Fx1, Fy1), _ = solve_drag(1.0)
+    (Fx2, Fy2), _ = solve_drag(2.0)
+    # F is the traction integral on the FLUID; the drag on the body is -Fx
+    assert -Fx1 > 0, Fx1
+    assert abs(Fy1) < 0.05 * abs(Fx1)        # symmetric: no lift
+    assert abs(Fx2 / Fx1 - 2.0) < 0.05, Fx2 / Fx1  # Stokes: F ~ mu
