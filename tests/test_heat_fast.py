@@ -39,3 +39,30 @@ def test_fast_heat_matches_general():
     got = np.asarray(Tf)
     active = np.asarray(fast.active)
     assert np.abs(got[active] - ref[active]).max() < 1e-9
+
+
+def test_f32_matches_f64_heat():
+    """SURVEY §4 JAX-specific gate: the f32 production path (the TPU
+    dtype) agrees with the f64 verification path to single-precision
+    tolerance on the benchmark configuration (scaled down)."""
+    nx = 64
+    lx = 4.0
+    mesh = pt.Mesh((nx, nx), (lx, lx), (0.0, 0.0))
+    body = pt.geometry.circle((2.0, 2.0), 1.0)
+    bc_b = pt.BorderConditions({k: pt.Dirichlet(0.0)
+                                for k in ("left", "right", "top", "bottom")})
+    dt = 0.25 * (lx / nx) ** 2
+
+    results = {}
+    for dtype in (jnp.float64, jnp.float32):
+        cap = pt.compute_capacity(body, mesh, p=4, s=1, dtype=dtype)
+        ops = pt.make_diffusion_ops(cap)
+        fast = FastHeatBE(cap, ops, 1.0, lambda x, y, z, t: 0.0,
+                          pt.Dirichlet(1.0), bc_b, dt,
+                          cg_tol=1e-6, cg_maxiter=64, dtype=dtype)
+        T = fast.run(jnp.zeros(mesh.np_shape, dtype), 20)
+        results[str(dtype)] = np.asarray(T, np.float64)
+
+    a = results["<class 'jax.numpy.float64'>"]
+    b = results["<class 'jax.numpy.float32'>"]
+    assert np.abs(a - b).max() < 5e-4, np.abs(a - b).max()
