@@ -106,18 +106,22 @@ def _insert(coords, d, value):
 
 
 def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
-                     compute_centroids: bool = True) -> Capacity:
+                     compute_centroids: bool = True,
+                     params=None) -> Capacity:
     """Compute all cut-cell capacities for ``body`` on ``mesh``.
 
     ``body`` must accept ``mesh.ndim`` coordinate arrays (broadcasting) and
-    return the signed distance (negative = fluid).  The whole pipeline runs
-    as a single jitted XLA program (compiles once per (body, mesh) shape,
+    return the signed distance (negative = fluid) — or, when ``params`` is
+    given, ``body(*coords, params)`` with ``params`` a traced pytree
+    (geometry sweeps can then vmap/scan over parameters without retracing,
+    like the space-time variant).  The whole pipeline runs as a single
+    jitted XLA program (compiles once per (body, mesh) shape,
     persistent-cached across processes).
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
     return _compute_capacity_jit(body, mesh, p, s, jnp.dtype(dtype).name,
-                                 compute_centroids)
+                                 compute_centroids, params)
 
 
 def compute_capacity_spacetime(body, space_mesh, t0, t1, p: int = 8,
@@ -156,10 +160,15 @@ def _compute_capacity_st_jit(body, space_mesh, p, s, dtype_name,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids):
+def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids,
+                          params=None):
     dtype = jnp.dtype(dtype_name)
     nodes = [np.asarray(v, dtype) for v in mesh.nodes]
-    return _capacity_impl(body, nodes, mesh.n, dtype, p, s,
+    if params is not None:
+        wrapped = lambda *cs: body(*cs, params)
+    else:
+        wrapped = body
+    return _capacity_impl(wrapped, nodes, mesh.n, dtype, p, s,
                           compute_centroids, mesh_ref=mesh)
 
 

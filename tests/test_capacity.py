@@ -4,6 +4,7 @@ backend (mirrors the reference's VOFI-vs-ImplicitIntegration test,
 test/capacity_test.jl:6-60, with its tolerances)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import penguin_tpu as pt
@@ -93,3 +94,26 @@ def test_spacetime_capacity_static_body():
     np.testing.assert_allclose(At[:, 1], Vsp, atol=1e-10)
     # space-time volume = dt * spatial volume for a static body
     np.testing.assert_allclose(np.asarray(cap_st.V).sum(), 0.1 * Vsp.sum(), rtol=1e-10)
+
+
+def test_vmap_capacity_batch_matches_loop():
+    """SURVEY §4 JAX-specific gate: vmapping the capacity quadrature over a
+    batch of geometry parameters (the data-parallel sweep pattern) equals
+    the per-geometry loop exactly."""
+    import jax
+
+    mesh = pt.Mesh((16, 16), (4.0, 4.0), (0.0, 0.0))
+    radii = jnp.asarray([0.7, 1.0, 1.3])
+
+    def body(x, y, params):
+        r = params
+        return jnp.sqrt((x - 2.0) ** 2 + (y - 2.0) ** 2) - r
+
+    def volumes(r):
+        cap = pt.compute_capacity(body, mesh, p=4, s=1, params=r)
+        return cap.V
+
+    batched = jax.vmap(volumes)(radii)
+    for i, r in enumerate(np.asarray(radii)):
+        single = volumes(jnp.asarray(r))
+        assert np.array_equal(np.asarray(batched[i]), np.asarray(single))
