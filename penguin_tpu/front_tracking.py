@@ -37,6 +37,7 @@ __all__ = [
     "markers_crystal",
     "polyline_sdf",
     "polyline_normals",
+    "polyline_curvature",
     "polygon_area",
     "polygon_centroid",
     "interface_length",
@@ -145,6 +146,24 @@ def polyline_normals(markers):
         + nxt / jnp.maximum(jnp.linalg.norm(nxt, axis=-1, keepdims=True), 1e-300)
     nrm = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
     return nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-300)
+
+
+def polyline_curvature(markers):
+    """Signed discrete curvature at each marker (Menger curvature of the
+    marker triple; positive = convex for counterclockwise markers — a CCW
+    circle of radius R gives +1/R).  Feeds the Gibbs-Thomson curvature
+    undercooling (reference computes curvature from the front for
+    bc.epsilon_kappa, liquidmotionsolver/stefan.jl Gibbs handling)."""
+    prev = jnp.roll(markers, 1, axis=0)
+    nxt = jnp.roll(markers, -1, axis=0)
+    e1 = markers - prev
+    e2 = nxt - markers
+    cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    l1 = jnp.linalg.norm(e1, axis=-1)
+    l2 = jnp.linalg.norm(e2, axis=-1)
+    l3 = jnp.linalg.norm(nxt - prev, axis=-1)
+    denom = jnp.maximum(l1 * l2 * l3, 1e-300)
+    return 2.0 * cross / denom
 
 
 def polygon_area(markers):

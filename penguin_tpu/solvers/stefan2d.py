@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..assembly import border_info
 from ..capacity import compute_capacity_spacetime
 from ..front_tracking import (
+    polyline_curvature,
     polyline_normals,
     polyline_sdf,
     resample_markers,
@@ -154,16 +155,32 @@ class StefanMono2D(_ScalarSolverBase):
             )
             g_override = None
             if gibbs:
-                # Gibbs-Thomson: g = Tm - eps_v * v_gamma with the cell-wise
-                # normal interface velocity v = (V(t1)-V(t0))/(dt Γ)
-                # (reference feeds bc.vᵞ from the front motion,
-                # liquidmotionsolver/diffusion2d.jl:94-101)
-                _, Va_, Vb_, G0_, _, _ = slice_spacetime(cap)
+                # Gibbs-Thomson: g = Tm - eps_k * kappa - eps_v * v_gamma
+                # with the cell-wise normal interface velocity
+                # v = (V(t1)-V(t0))/(dt Γ) (reference feeds bc.vᵞ/κ from the
+                # front motion, liquidmotionsolver/diffusion2d.jl:94-101)
+                _, Va_, Vb_, G0_, _, Cg_ = slice_spacetime(cap)
                 # v = ΔV / (dt Γ_spatial); the sliced space-time Γ already
                 # carries the dt factor (Γ0 ≈ dt·Γ_sp), so v = ΔV/Γ0
                 v_g = (Vb_ - Va_) / jnp.where(G0_ > 0, G0_, 1.0)
                 v_g = jnp.where(G0_ > 0, v_g, 0.0)
                 g_override = bc_i.Tm - bc_i.eps_v * v_g
+                if bc_i.eps_k:
+                    # per-cell curvature: nearest marker's discrete Menger
+                    # curvature, looked up from the interface centroids.
+                    # Gibbs-Thomson uses the SOLID's curvature (convex solid
+                    # -> kappa > 0 -> depressed melting temperature): the
+                    # polygon is the solid when the fluid is exterior
+                    # (sign=-1), and the solid's curvature is the polygon's
+                    # negative when the fluid is interior (sign=+1).
+                    kap_m = -sign * polyline_curvature(mk_b)
+                    d2 = jnp.sum(
+                        (Cg_[..., None, :] - mk_b[None, None, :, :]) ** 2,
+                        axis=-1,
+                    )
+                    kap_cell = kap_m[jnp.argmin(d2, axis=-1)]
+                    kap_cell = jnp.where(G0_ > 0, kap_cell, 0.0)
+                    g_override = g_override - bc_i.eps_k * kap_cell
             apply_fn, rhs_fn = build_moving_mono_system(
                 cap, D, f, bc_i, border, t, dt, scheme,
                 g_override=g_override,

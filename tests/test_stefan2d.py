@@ -163,3 +163,60 @@ def test_frank_disk_intercept_jacobian():
     R_exact = S * np.sqrt(t0 + solver.residual_log.shape[0] * dt)
     assert abs(radii.mean() - R_exact) / R_exact < 0.02
     assert radii.std() / radii.mean() < 0.02
+
+
+@pytest.mark.slow
+def test_gibbs_thomson_curvature_slows_growth():
+    """Gibbs-Thomson curvature undercooling (eps_k > 0): the interface
+    temperature of a growing disk drops by eps_k/R, so growth is strictly
+    slower than the eps_k = 0 case, with front and temperatures finite.
+    Unit check: polyline_curvature of a circle = 1/R exactly."""
+    from penguin_tpu.front_tracking import markers_circle, polyline_curvature
+
+    k = np.asarray(polyline_curvature(markers_circle((0.0, 0.0), 2.0, n=48)))
+    assert np.allclose(k, 0.5, atol=1e-12)
+
+    S = 1.0
+    St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
+    T_inf = -St
+    L, center = 8.0, (4.0, 4.0)
+    nx = ny = 32
+    mesh = pt.Mesh((nx, ny), (L, L), (0.0, 0.0))
+    t0, dt = 1.0, 0.02
+    R0 = S * np.sqrt(t0)
+
+    def T_analytic(x, y, t):
+        r = np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2)
+        s = r / np.sqrt(t)
+        val = T_inf * (1 - exp1(np.maximum(s**2 / 4, 1e-12)) / exp1(S**2 / 4))
+        return np.where(s >= S, val, 0.0)
+
+    radii = {}
+    for eps_k in (0.0, 0.1):
+        front = FrontTracker().create_circle(center, R0, n=32)
+        cap0 = pt.compute_capacity(lambda x, y: -front.sdf(x, y), mesh, p=4, s=1)
+        C = np.asarray(cap0.C_om)
+        Tw0 = jnp.asarray(T_analytic(C[..., 0], C[..., 1], t0))
+        bc_b = pt.BorderConditions(
+            {k_: pt.Dirichlet(float(T_inf))
+             for k_ in ("left", "right", "top", "bottom")})
+        gt = pt.GibbsThomson(Tm=0.0, eps_k=eps_k, eps_v=0.0)
+        phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                         lambda x, y, z, t: 0.0, 1.0)
+        ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                    pt.FluxJump(1.0, 1.0, 1.0))
+        solver = StefanMono2D(phase, bc_b, gt, dt,
+                              (Tw0, jnp.zeros(mesh.np_shape)), mesh, "BE")
+        solver.solve(front, 0.0, 0.06 - dt / 2, ic,
+                     newton_params=(10, 1e-4, 1e-6, 1.0),
+                     interior_fluid=False, method="bicgstab",
+                     jac="intercept", p=4, s=1)
+        mk = np.asarray(solver.markers)
+        r = np.sqrt((mk[:, 0] - center[0]) ** 2 + (mk[:, 1] - center[1]) ** 2)
+        assert np.isfinite(r).all()
+        radii[eps_k] = r.mean()
+
+    # curvature undercooling: the solid (interior) is at Tm - eps_k/R < 0,
+    # reducing the gradient into the liquid -> slower growth
+    assert radii[0.1] < radii[0.0] - 1e-4, radii
+    assert radii[0.1] > R0  # still grows
