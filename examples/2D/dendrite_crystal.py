@@ -1,5 +1,6 @@
 """Crystal growth showcase: a perturbed seed (crystal marker shape) growing
-into undercooled liquid with a Gibbs-Thomson interface condition — the
+into undercooled liquid with the full Gibbs-Thomson interface condition
+(curvature + kinetic undercooling) — the
 front-tracking configuration behind dendritic solidification studies
 (reference crystal generator front_tracking.jl:91-271 + GibbsThomson BC).
 
@@ -31,7 +32,7 @@ Tw0 = jnp.full(mesh.np_shape, T_inf) * (cap0.V > 0)
 bc_b = pt.BorderConditions({k: pt.Dirichlet(T_inf)
                             for k in ("left", "right", "top", "bottom")})
 # Gibbs-Thomson: interface temperature depressed by the kinetic term
-gt = pt.GibbsThomson(Tm=0.0, eps_k=0.0, eps_v=0.05)
+gt = pt.GibbsThomson(Tm=0.0, eps_k=0.01, eps_v=0.05)
 phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0), lambda x, y, z, t: 0.0, 1.0)
 ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
                             pt.FluxJump(1.0, 1.0, 1.0))
