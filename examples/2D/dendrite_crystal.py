@@ -31,7 +31,9 @@ Tw0 = jnp.full(mesh.np_shape, T_inf) * (cap0.V > 0)
 
 bc_b = pt.BorderConditions({k: pt.Dirichlet(T_inf)
                             for k in ("left", "right", "top", "bottom")})
-# Gibbs-Thomson: interface temperature depressed by the kinetic term
+# Gibbs-Thomson: curvature undercooling (eps_k) regularizes the lobes and
+# kinetic attachment resistance (eps_v) undercools the SOLIDIFYING front
+# (g = Tm - eps_v * v_solid), slowing and stabilizing growth
 gt = pt.GibbsThomson(Tm=0.0, eps_k=0.01, eps_v=0.05)
 phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0), lambda x, y, z, t: 0.0, 1.0)
 ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),

@@ -156,7 +156,8 @@ def _compute_capacity_st_jit(body, space_mesh, p, s, dtype_name,
     else:
         wrapped = body
     return _capacity_impl(wrapped, nodes, n, dtype, p, s, compute_centroids,
-                          mesh_ref=None, spacetime=True)
+                          mesh_ref=None, spacetime=True,
+                          np_shape=space_mesh.np_shape + (2,))
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
@@ -169,13 +170,15 @@ def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids,
     else:
         wrapped = body
     return _capacity_impl(wrapped, nodes, mesh.n, dtype, p, s,
-                          compute_centroids, mesh_ref=mesh)
+                          compute_centroids, mesh_ref=mesh,
+                          np_shape=mesh.np_shape)
 
 
 def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
-                   mesh_ref, spacetime=False):
+                   mesh_ref, spacetime=False, np_shape=None):
     N = len(n)
-    np_shape = tuple(nd + 1 for nd in n)
+    if np_shape is None:
+        np_shape = tuple(nd + 1 for nd in n)
     lo, hi = _cell_bounds_from_nodes(nodes_list, n, dtype)
     # For space-time slabs the interface crossing lives in space, so the
     # closed-form axis of the full-box integrals is the last *spatial* axis.

@@ -73,7 +73,14 @@ def _encode_skeleton(obj):
         return {"__l__": [_encode_skeleton(o) for o in obj]}
     if isinstance(obj, dict):
         return {"__d__": {k: _encode_skeleton(v) for k, v in obj.items()}}
-    return int(obj)
+    if isinstance(obj, int):
+        return obj
+    raise TypeError(
+        "save_checkpoint supports states built from tuples/lists/dicts of "
+        f"arrays; got an unsupported pytree node of type {type(obj).__name__}"
+        " — convert custom nodes (dataclasses, namedtuples) to plain "
+        "containers first, e.g. via jax.tree_util.tree_flatten."
+    )
 
 
 def _decode_skeleton(obj, leaves):

@@ -205,7 +205,15 @@ def resample_markers(markers, n_out=None):
 
 def smooth_displacements(disp, window=3, passes=1):
     """Circular moving-average smoothing of marker displacements
-    (reference smooth_displacements!, stefan.jl:122-178)."""
+    (reference smooth_displacements!, stefan.jl:122-178).
+
+    ``window`` must be odd: an even window would circular-pad ``window``
+    elements but 'valid' convolution only consumes ``window - 1``, changing
+    the array length (an opaque shape error inside the jitted GN loop)."""
+    if window % 2 == 0:
+        raise ValueError(
+            f"smooth_displacements window must be odd, got {window}"
+        )
     kernel = jnp.ones(window) / window
     out = disp
     for _ in range(passes):
@@ -238,10 +246,12 @@ def compute_volume_jacobian(mesh, markers, sign=1.0, p=4, s=1):
             return sign * polyline_sdf(mk, xx, yy)
 
         V, _ = box_integrals(body, [lox, loy], [hix, hiy], p=p, s=s)
-        return jnp.pad(V, ((0, 1), (0, 1))).ravel()
+        return jnp.pad(
+            V, [(0, mesh.np_shape[d] - V.shape[d]) for d in range(2)]
+        ).ravel()
 
     J = jax.jacfwd(volumes)(jnp.zeros(markers.shape[0], markers.dtype))
-    return J.reshape(nx + 1, ny + 1, markers.shape[0])
+    return J.reshape(mesh.np_shape[0], mesh.np_shape[1], markers.shape[0])
 
 
 

@@ -25,7 +25,111 @@ __all__ = [
     "solve_linear",
     "DenseFactorSolver",
     "KrylovSolver",
+    "pcg",
+    "pbicgstab",
 ]
+
+
+# ---------------------------------------------------------------------------
+# pytree Krylov with iteration telemetry (the reference stores convergence
+# histories in Solver.ch, src/solver.jl:136-139,176-180; here every jitted
+# solve returns (x, iters, relres) so callers can log solver health)
+# ---------------------------------------------------------------------------
+
+def _tdot(a, b):
+    """Pytree dot product — becomes a psum collective under sharding."""
+    parts = jax.tree_util.tree_map(lambda x, y: jnp.vdot(x, y).real, a, b)
+    return sum(jax.tree_util.tree_leaves(parts))
+
+
+def _taxpy(alpha, x, y):
+    return jax.tree_util.tree_map(lambda a, b: alpha * a + b, x, y)
+
+
+def _tmul(d, x):
+    return jax.tree_util.tree_map(lambda a, b: a * b, d, x)
+
+
+def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
+    """Jacobi(/diagonal)-preconditioned conjugate gradients on pytrees.
+
+    ``Minv``: pytree of inverse-diagonal entries (None = identity).
+    Returns ``(x, iters, relres)`` with ``relres = ||r||/||b||`` — the
+    telemetry the reference keeps in ``Solver.ch``.
+    """
+    prec = (lambda r: _tmul(Minv, r)) if Minv is not None else (lambda r: r)
+    bb = jnp.maximum(_tdot(b, b), 1e-300)
+    tol2 = tol * tol
+
+    r0 = jax.tree_util.tree_map(lambda u, v: u - v, b, apply_fn(x0))
+    z0 = prec(r0)
+    rz0 = _tdot(r0, z0)
+
+    def cond(st):
+        x, r, p, rz, rr, k = st
+        return (rr > tol2 * bb) & (k < maxiter)
+
+    def body(st):
+        x, r, p, rz, rr, k = st
+        Ap = apply_fn(p)
+        pAp = _tdot(p, Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = _taxpy(alpha, p, x)
+        r = _taxpy(-alpha, Ap, r)
+        z = prec(r)
+        rz_new = _tdot(r, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = _taxpy(beta, p, z)
+        return (x, r, p, rz_new, _tdot(r, r), k + 1)
+
+    init = (x0, r0, z0, rz0, _tdot(r0, r0), 0)
+    x, r, p, rz, rr, k = jax.lax.while_loop(cond, body, init)
+    return x, k, jnp.sqrt(rr / bb)
+
+
+def pbicgstab(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
+    """Jacobi-preconditioned BiCGStab on pytrees (right preconditioning).
+    Returns ``(x, iters, relres)``."""
+    prec = (lambda r: _tmul(Minv, r)) if Minv is not None else (lambda r: r)
+    bb = jnp.maximum(_tdot(b, b), 1e-300)
+    tol2 = tol * tol
+
+    r0 = jax.tree_util.tree_map(lambda u, v: u - v, b, apply_fn(x0))
+    rhat = r0
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, b)
+    one = jnp.asarray(1.0, jax.tree_util.tree_leaves(b)[0].dtype)
+
+    def cond(st):
+        x, r, p, v, rho, alpha, omega, rr, k = st
+        return (rr > tol2 * bb) & (k < maxiter)
+
+    def body(st):
+        x, r, p, v, rho, alpha, omega, rr, k = st
+        rho_new = _tdot(rhat, r)
+        beta = (rho_new / jnp.where(rho != 0, rho, 1e-300)) * (
+            alpha / jnp.where(omega != 0, omega, 1e-300)
+        )
+        p = jax.tree_util.tree_map(
+            lambda rr_, pp, vv: rr_ + beta * (pp - omega * vv), r, p, v
+        )
+        phat = prec(p)
+        v = apply_fn(phat)
+        rhv = _tdot(rhat, v)
+        alpha = rho_new / jnp.where(rhv != 0, rhv, 1e-300)
+        s = _taxpy(-alpha, v, r)
+        shat = prec(s)
+        t = apply_fn(shat)
+        tt = _tdot(t, t)
+        omega = _tdot(t, s) / jnp.where(tt != 0, tt, 1e-300)
+        x = jax.tree_util.tree_map(
+            lambda xx, ph, sh: xx + alpha * ph + omega * sh, x, phat, shat
+        )
+        r = _taxpy(-omega, t, s)
+        return (x, r, p, v, rho_new, alpha, omega, _tdot(r, r), k + 1)
+
+    init = (x0, r0, zeros, zeros, one, one, one, _tdot(r0, r0), 0)
+    x, r, p, v, rho, alpha, omega, rr, k = jax.lax.while_loop(cond, body, init)
+    return x, k, jnp.sqrt(rr / bb)
 
 
 def materialize_dense(apply_fn, template):

@@ -33,7 +33,7 @@ class Mesh:
     (``Mesh((nx, ny), (lx, ly), (x0, y0))``).
     """
 
-    def __init__(self, n, domain_size, x0=None):
+    def __init__(self, n, domain_size, x0=None, pad=None):
         n = tuple(int(v) for v in n)
         L = tuple(float(v) for v in domain_size)
         if x0 is None:
@@ -41,6 +41,12 @@ class Mesh:
         x0 = tuple(float(v) for v in x0)
         if not (len(n) == len(L) == len(x0)):
             raise ValueError("n, domain_size and x0 must have equal length")
+        if pad is None:
+            pad = (1,) * len(n)
+        pad = tuple(int(v) for v in pad)
+        if len(pad) != len(n) or any(v < 1 for v in pad):
+            raise ValueError("pad must give >= 1 inert DOF slots per axis")
+        self.pad = pad
         self.n = n
         self.domain_size = L
         self.x0 = x0
@@ -58,10 +64,11 @@ class Mesh:
             for d in range(self.ndim)
         )
 
-    # number of DOF slots per axis: n + 1 (cells 0..n-1 plus one padding slot)
+    # number of DOF slots per axis: n + pad (cells 0..n-1 plus >= 1 inert
+    # padding slots; pad > 1 makes the DOF shape divisible by a device grid)
     @property
     def np_shape(self):
-        return tuple(nd + 1 for nd in self.n)
+        return tuple(nd + pd for nd, pd in zip(self.n, self.pad))
 
     # number of integration cells per axis
     @property
@@ -80,7 +87,7 @@ class Mesh:
 
     # value-based hashing so meshes can be static jit arguments
     def _key(self):
-        return (self.n, self.domain_size, self.x0)
+        return (self.n, self.domain_size, self.x0, self.pad)
 
     def __eq__(self, other):
         return isinstance(other, Mesh) and self._key() == other._key()
@@ -110,10 +117,11 @@ class SpaceTimeMesh:
         self.centers = space_mesh.centers + (tcenters,)
         # spacing along time may be nonuniform; keep min for CFL-style uses
         self.h = space_mesh.h + (float(np.min(np.diff(times))),)
+        self.pad = space_mesh.pad + (1,)
 
     @property
     def np_shape(self):
-        return tuple(nd + 1 for nd in self.n)
+        return tuple(nd + pd for nd, pd in zip(self.n, self.pad))
 
     @property
     def cells_shape(self):

@@ -16,8 +16,9 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_grid_mesh", "grid_sharding", "shard_pytree",
-           "dryrun_heat_multichip", "dryrun_stokes_multichip"]
+__all__ = ["make_grid_mesh", "grid_sharding", "shard_pytree", "padded_mesh",
+           "dryrun_heat_multichip", "dryrun_stokes_multichip",
+           "dryrun_moving_multichip"]
 
 
 def _factor2(n):
@@ -46,6 +47,25 @@ def grid_sharding(mesh, ndim=2):
     if ndim >= 2:
         spec[1] = "y"
     return NamedSharding(mesh, P(*spec))
+
+
+def padded_mesh(dev_mesh, n, domain_size, x0=None):
+    """A ``penguin_tpu.Mesh`` whose DOF shape is divisible by the device
+    grid: the per-axis inert padding (normally 1 slot) is grown to the next
+    multiple of the device-axis size.  Extra slots carry zero capacities and
+    become identity rows, so the physics on the ``n`` real cells is
+    unchanged — this removes any grid/device divisibility restriction."""
+    import penguin_tpu as pt
+
+    dev_shape = dev_mesh.devices.shape
+    pad = []
+    for d in range(len(n)):
+        ax = dev_shape[d] if d < len(dev_shape) else 1
+        p = 1
+        while (n[d] + p) % ax:
+            p += 1
+        pad.append(p)
+    return pt.Mesh(n, domain_size, x0, pad=tuple(pad))
 
 
 def shard_pytree(tree, sharding):
@@ -78,12 +98,9 @@ def dryrun_heat_multichip(n_devices, grid=(63, 63)):
 
     dev_mesh = make_grid_mesh(n_devices)
     nx, ny = grid
-    # DOF arrays have shape (n+1, n+1); NamedSharding requires divisibility
-    ax, ay = dev_mesh.devices.shape
-    assert (nx + 1) % ax == 0 and (ny + 1) % ay == 0, (
-        "choose grid with n+1 divisible by the device mesh"
-    )
-    mesh = pt.Mesh((nx, ny), (4.0, 4.0), (0.0, 0.0))
+    # inert DOF padding grows to the next device-grid multiple, so ANY grid
+    # works (no divisibility restriction)
+    mesh = padded_mesh(dev_mesh, (nx, ny), (4.0, 4.0), (0.0, 0.0))
     body = pt.geometry.circle((2.0, 2.0), 1.0)
     cap = pt.compute_capacity(body, mesh, p=4, s=1, dtype=jnp.float32)
     ops = pt.make_diffusion_ops(cap)
@@ -125,15 +142,11 @@ def dryrun_stokes_multichip(n_devices, grid=(31, 31)):
 
     dev_mesh = make_grid_mesh(n_devices)
     nx, ny = grid
-    ax, ay = dev_mesh.devices.shape
-    assert (nx + 1) % ax == 0 and (ny + 1) % ay == 0, (
-        "choose grid with n+1 divisible by the device mesh"
-    )
     L = 1.0
-    mesh_p = pt.Mesh((nx, ny), (L, L), (0.0, 0.0))
+    mesh_p = padded_mesh(dev_mesh, (nx, ny), (L, L), (0.0, 0.0))
     d = L / nx
-    mesh_ux = pt.Mesh((nx, ny), (L, L), (-0.5 * d, 0.0))
-    mesh_uy = pt.Mesh((nx, ny), (L, L), (0.0, -0.5 * d))
+    mesh_ux = padded_mesh(dev_mesh, (nx, ny), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = padded_mesh(dev_mesh, (nx, ny), (L, L), (0.0, -0.5 * d))
     body = pt.geometry.full_domain(2)
     caps = [pt.compute_capacity(body, m, p=4, s=1, dtype=jnp.float32)
             for m in (mesh_ux, mesh_uy, mesh_p)]
@@ -169,4 +182,52 @@ def dryrun_stokes_multichip(n_devices, grid=(31, 31)):
     jax.block_until_ready(out)
     err = max(float(jnp.abs(a - b).max()) for a, b in zip(out, x_ref))
     assert err < 1e-5, f"sharded vs single-device Stokes apply mismatch: {err}"
+    return out
+
+
+def dryrun_moving_multichip(n_devices, grid=(30, 30)):
+    """One full prescribed-motion moving-interface step — space-time cut-cell
+    capacity rebuild + slab system solve — executed SPMD over the device
+    mesh, on a deliberately non-divisible grid (the inert DOF padding grows
+    to the device grid).  Verifies sharded == unsharded."""
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu.solvers.moving_diffusion import solve_moving_mono_step
+
+    dev_mesh = make_grid_mesh(n_devices)
+    nx, ny = grid
+    mesh = padded_mesh(dev_mesh, (nx, ny), (4.0, 4.0), (0.0, 0.0))
+    dt = 0.1
+
+    def body_st(x, y, t):
+        xc = 2.0 + 0.5 * t
+        return jnp.sqrt((x - xc) ** 2 + (y - 2.0) ** 2) - 1.0
+
+    bc0 = pt.Dirichlet(0.0)
+    bc_b = pt.BorderConditions(
+        {k: bc0 for k in ("left", "right", "top", "bottom")}
+    )
+    border = pt.assembly.border_info(mesh, bc_b)
+    x0 = (jnp.zeros(mesh.np_shape), jnp.zeros(mesh.np_shape))
+
+    def step(x, t):
+        cap = pt.capacity.compute_capacity_spacetime(
+            body_st, mesh, t, t + dt, p=4, s=1
+        )
+        xn, iters, res = solve_moving_mono_step(
+            cap, 1.0, lambda *a: 0.0, pt.Dirichlet(1.0), border, x, t, dt,
+            "BE", tol=1e-10,
+        )
+        return xn
+
+    x_ref = jax.jit(step)(x0, 0.0)
+    sharding = grid_sharding(dev_mesh)
+    x_sh = tuple(jax.device_put(f, sharding) for f in x0)
+    step_sh = jax.jit(step, in_shardings=(tuple([sharding] * 2), None),
+                      out_shardings=tuple([sharding] * 2))
+    out = step_sh(x_sh, 0.0)
+    jax.block_until_ready(out)
+    err = max(float(jnp.abs(a - b).max()) for a, b in zip(out, x_ref))
+    assert err < 1e-8, f"sharded vs single-device moving step mismatch: {err}"
     return out

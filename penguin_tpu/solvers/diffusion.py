@@ -266,12 +266,17 @@ class DiffusionUnsteadyDiph(_ScalarSolverBase):
             def body(x, k):
                 t = t_start + (k + 1.0) * dt
                 xn = step(x, t)
-                return xn, None
+                return xn, xn if keep_states else None
 
-            xf, _ = jax.lax.scan(body, x0, jnp.arange(n_steps))
-            return x0, xf
+            xf, hist = jax.lax.scan(body, x0, jnp.arange(n_steps))
+            return x0, xf, hist
 
-        x0, xf = run(self.u0)
+        x0, xf, hist = run(self.u0)
         self.x = xf
-        self.states = [x0, xf] if not keep_states else [x0, xf]
+        if keep_states and hist is not None:
+            self.states = [x0] + [
+                tuple(h[k] for h in hist) for k in range(n_steps)
+            ]
+        else:
+            self.states = [x0, xf]
         return self.x

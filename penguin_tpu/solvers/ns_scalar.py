@@ -12,7 +12,9 @@ Re-design of ``/root/reference/src/solver/navierstokes_scalar_coupling.jl``:
 - inter-mesh transfer by nearest-neighbor index maps (the reference builds
   sparse 0/1 projection matrices, :60-88,120-141; here gather indices).
 
-``MonolithicCoupling`` (full Newton over u, p, T) is not yet ported.
+All three couplings are implemented, including ``MonolithicCoupling``
+(one Newton system over u, p, T with an autodiff Jacobian; see
+``solve_monolithic_steady`` below).
 """
 
 from __future__ import annotations

@@ -49,6 +49,7 @@ from .moving_diffusion import (
     _eval_D,
     build_moving_mono_system,
     slice_spacetime,
+    solve_moving_mono_step,
 )
 
 __all__ = ["StefanMono2D", "StefanDiph2D"]
@@ -77,7 +78,7 @@ def _spatial_volumes(markers, mesh, sign, p, s):
         return sign * polyline_sdf(markers, xx, yy)
 
     V, _ = box_integrals(body, [lox, loy], [hix, hiy], p=p, s=s)
-    return jnp.pad(V, ((0, 1), (0, 1)))
+    return jnp.pad(V, [(0, mesh.np_shape[d] - V.shape[d]) for d in range(2)])
 
 
 def _box3_filter(F):
@@ -113,7 +114,7 @@ class StefanMono2D(_ScalarSolverBase):
     def solve(self, front, t_start, t_end, ic,
               newton_params=(30, 1e-6, 1e-6, 1.0),
               interior_fluid=True,
-              method="direct",
+              method="pbicgstab", lin_tol=1e-9, lin_maxiter=400,
               lm_init_lambda=1e-4, lm_lambda_factor=10.0,
               lm_min_lambda=1e-10, lm_max_lambda=1e6,
               enable_stencil_fusion=True,
@@ -155,16 +156,27 @@ class StefanMono2D(_ScalarSolverBase):
             )
             g_override = None
             if gibbs:
-                # Gibbs-Thomson: g = Tm - eps_k * kappa - eps_v * v_gamma
-                # with the cell-wise normal interface velocity
-                # v = (V(t1)-V(t0))/(dt Γ) (reference feeds bc.vᵞ/κ from the
-                # front motion, liquidmotionsolver/diffusion2d.jl:94-101)
+                # Gibbs-Thomson: g = Tm - eps_k * kappa ± eps_v * v
+                # with the cell-wise normal interface velocity recovered
+                # from the slab volume change (reference feeds bc.vᵞ/κ from
+                # the front motion, liquidmotionsolver/diffusion2d.jl:94-101)
                 _, Va_, Vb_, G0_, _, Cg_ = slice_spacetime(cap)
-                # v = ΔV / (dt Γ_spatial); the sliced space-time Γ already
-                # carries the dt factor (Γ0 ≈ dt·Γ_sp), so v = ΔV/Γ0
-                v_g = (Vb_ - Va_) / jnp.where(G0_ > 0, G0_, 1.0)
-                v_g = jnp.where(G0_ > 0, v_g, 0.0)
-                g_override = bc_i.Tm - bc_i.eps_v * v_g
+                # ΔV/Γ0_st is NOT v: the space-time measure satisfies
+                # Γ0 = dt·Γ_sp·sqrt(1+v²) while ΔV = dt·Γ_sp·v, so the
+                # ratio is v/sqrt(1+v²); invert it to recover v exactly
+                # (otherwise fast fronts saturate at |v|=1)
+                v_r = (Vb_ - Va_) / jnp.where(G0_ > 0, G0_, 1.0)
+                v_r = jnp.clip(jnp.where(G0_ > 0, v_r, 0.0), -0.999, 0.999)
+                v_liq = v_r / jnp.sqrt(1.0 - v_r * v_r)
+                # Kinetic term sign: v_liq > 0 is LIQUID growth (melting).
+                # The solid-growth velocity is -v_liq, and kinetic
+                # attachment resistance gives g = Tm - eps_v * v_solid
+                # = Tm + eps_v * v_liq: undercooled while solidifying,
+                # superheated while melting.  (The reference uses
+                # Tm - eps_v*|v|, solver.jl:327, which would *superheat* a
+                # solidifying front and destabilize it — verified on the
+                # Frank disk: eps_v > 0 must SLOW growth.)
+                g_override = bc_i.Tm + bc_i.eps_v * v_liq
                 if bc_i.eps_k:
                     # per-cell curvature: nearest marker's discrete Menger
                     # curvature, looked up from the interface centroids.
@@ -181,30 +193,24 @@ class StefanMono2D(_ScalarSolverBase):
                     kap_cell = kap_m[jnp.argmin(d2, axis=-1)]
                     kap_cell = jnp.where(G0_ > 0, kap_cell, 0.0)
                     g_override = g_override - bc_i.eps_k * kap_cell
-            apply_fn, rhs_fn = build_moving_mono_system(
-                cap, D, f, bc_i, border, t, dt, scheme,
-                g_override=g_override,
+            T, klv_it, klv_res = solve_moving_mono_step(
+                cap, D, f, bc_i, border, Told, t, dt, scheme,
+                tol=lin_tol, maxiter=lin_maxiter, g_override=g_override,
+                method=method,
             )
-            b = rhs_fn(Told)
-            if method == "direct":
-                T = _direct_solve(apply_fn, b)
-            else:
-                from jax.scipy.sparse.linalg import bicgstab
-
-                T, _ = bicgstab(apply_fn, b, x0=Told, tol=1e-9, maxiter=800)
             ops, Va, Vb, Gamma0, C_sp, _ = slice_spacetime(cap)
             Id = _eval_D(D, C_sp)
             q = ops.flux(T[0], T[1])
             flux = Id * ops.HT(q)
-            return T, flux, Va, Vb
+            return T, flux, Va, Vb, klv_it
 
         def residual(Told, mk_a, normals, d, t):
             mk_b = mk_a + d[:, None] * normals
-            T, flux, Va, Vb = slab_solve(Told, mk_a, mk_b, t)
+            T, flux, Va, Vb, klv_it = slab_solve(Told, mk_a, mk_b, t)
             F = rhoL * (Va - Vb) - flux
             if enable_stencil_fusion:
                 F = _box3_filter(F)
-            return F, T
+            return F, T, klv_it
 
         def vol_residual(d, mk_a, normals):
             """Volume part of F as a function of d only (for the Jacobian;
@@ -228,7 +234,8 @@ class StefanMono2D(_ScalarSolverBase):
                 mk_b = mk_a + d[:, None] * normals
                 L0, L1 = segment_cell_intersection_moments(mesh, mk_b)
                 Jm = jnp.roll(L1, 1, axis=2) + (L0 - L1)
-                Jm = jnp.pad(Jm, ((0, 1), (0, 1), (0, 0)))
+                Jm = jnp.pad(Jm, [(0, mesh.np_shape[0] - Jm.shape[0]),
+                               (0, mesh.np_shape[1] - Jm.shape[1]), (0, 0)])
                 Jm = -rhoL * sign * Jm
                 if enable_stencil_fusion:
                     Jm = jax.vmap(_box3_filter, in_axes=2, out_axes=2)(Jm)
@@ -241,12 +248,12 @@ class StefanMono2D(_ScalarSolverBase):
             normals = polyline_normals(mk_a)
 
             def cond(st):
-                d, T, lam, prev_rn, rn, it = st
+                d, T, lam, prev_rn, rn, it, kit = st
                 return (it < max_iter) & (rn > tol)
 
             def body(st):
-                d, T, lam, prev_rn, rn_old, it = st
-                F, Tn = residual(Told, mk_a, normals, d, t)
+                d, T, lam, prev_rn, rn_old, it, kit = st
+                F, Tn, klv_it = residual(Told, mk_a, normals, d, t)
                 Fv = F.ravel()
                 J = jac_fn(d, mk_a, normals)  # (ncells, nm)
                 JTJ = J.T @ J
@@ -264,13 +271,13 @@ class StefanMono2D(_ScalarSolverBase):
                     jnp.minimum(lam * lm_lambda_factor, lm_max_lambda),
                 )
                 lam_new = jnp.where(it == 0, lam, lam_new)
-                return (d_new, Tn, lam_new, rn, rn, it + 1)
+                return (d_new, Tn, lam_new, rn, rn, it + 1, kit + klv_it)
 
             init = (d0, Told, jnp.asarray(lm_init_lambda, d0.dtype),
                     jnp.asarray(jnp.inf, d0.dtype),
-                    jnp.asarray(jnp.inf, d0.dtype), 0)
-            d, T, lam, _, rn, it = jax.lax.while_loop(cond, body, init)
-            return d, T, rn, it
+                    jnp.asarray(jnp.inf, d0.dtype), 0, 0)
+            d, T, lam, _, rn, it, kit = jax.lax.while_loop(cond, body, init)
+            return d, T, rn, it, kit
 
         @jax.jit
         def run(u0, markers0):
@@ -280,22 +287,23 @@ class StefanMono2D(_ScalarSolverBase):
                 T, mk, last_d = carry
                 t = t_start + k * dt
                 d0 = jnp.where(k > 0, extrapolation_factor * last_d, 0.0)
-                d, Tn, rn, it = gn_step(T, mk, d0, t)
+                d, Tn, rn, it, kit = gn_step(T, mk, d0, t)
                 normals = polyline_normals(mk)
                 mk_new = resample_markers(mk + d[:, None] * normals)
-                return (Tn, mk_new, d), (mk_new, rn, it)
+                return (Tn, mk_new, d), (mk_new, rn, it, kit)
 
-            (Tf, mkf, _), (mk_log, rns, its) = jax.lax.scan(
+            (Tf, mkf, _), (mk_log, rns, its, kits) = jax.lax.scan(
                 step, (u0, markers0, d_zero), jnp.arange(K + 1.0)
             )
-            return Tf, mkf, mk_log, rns, its
+            return Tf, mkf, mk_log, rns, its, kits
 
-        Tf, mkf, mk_log, rns, its = run(self.u0, front.markers)
+        Tf, mkf, mk_log, rns, its, kits = run(self.u0, front.markers)
         self.x = Tf
         self.markers = mkf
         self.marker_log = np.asarray(mk_log)
         self.residual_log = np.asarray(rns)
         self.iters_log = np.asarray(its)
+        self.krylov_iters = np.asarray(kits)  # total Krylov its per step
         self.states = [Tf]
         front.markers = mkf
         return self.x
@@ -303,7 +311,7 @@ class StefanMono2D(_ScalarSolverBase):
     def solve_geom(self, front, t_start, t_end, ic,
                    newton_params=(20, 1e-6, 1e-6, 0.8),
                    interior_fluid=True,
-                   method="direct",
+                   method="pbicgstab", lin_tol=1e-9, lin_maxiter=400,
                    smooth_window=11, smooth_passes=2,
                    extrapolation_factor=0.8, max_disp_cells=0.5,
                    p=4, s=1):
@@ -337,16 +345,10 @@ class StefanMono2D(_ScalarSolverBase):
                 _st_marker_body, mesh, 0.0, dt, p=p, s=s,
                 params=(mk_a, mk_b, dt, sign),
             )
-            apply_fn, rhs_fn = build_moving_mono_system(
-                cap, D, f, bc_i, border, t, dt, scheme,
+            T, _klv_it, _klv_res = solve_moving_mono_step(
+                cap, D, f, bc_i, border, Told, t, dt, scheme,
+                tol=lin_tol, maxiter=lin_maxiter, method=method,
             )
-            b = rhs_fn(Told)
-            if method == "direct":
-                T = _direct_solve(apply_fn, b)
-            else:
-                from jax.scipy.sparse.linalg import bicgstab
-
-                T, _ = bicgstab(apply_fn, b, x0=Told, tol=1e-9, maxiter=800)
             ops, Va, Vb, Gamma0, C_sp, _ = slice_spacetime(cap)
             Id = _eval_D(D, C_sp)
             q = ops.flux(T[0], T[1])
@@ -442,6 +444,7 @@ class StefanDiph2D(_ScalarSolverBase):
               newton_params=(12, 1e-4, 1e-6, 1.0),
               interior_phase1=True,
               latent_sign=1.0,
+              method="pbicgstab", lin_tol=1e-9, lin_maxiter=800,
               lm_init_lambda=1e-4, lm_lambda_factor=10.0,
               lm_min_lambda=1e-10, lm_max_lambda=1e6,
               enable_stencil_fusion=True,
@@ -455,7 +458,7 @@ class StefanDiph2D(_ScalarSolverBase):
         from ..assembly import border_info
         from .moving_diffusion import (
             _eval_D as evD,
-            build_moving_diph_stef_system,
+            solve_moving_diph_stef_step,
         )
 
         dt = self.dt
@@ -478,12 +481,9 @@ class StefanDiph2D(_ScalarSolverBase):
                 params=(mk_a, mk_b, dt, -sign))
             b1m = border_info(mesh, bc_b, phase_mask=cap1.cell_types[..., 0] != 0)
             b2m = border_info(mesh, bc_b, phase_mask=cap2.cell_types[..., 0] != 0)
-            apply_fn, rhs_fn = build_moving_diph_stef_system(
-                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, t, dt, scheme)
-            b = rhs_fn(Xold)
-            from jax.scipy.sparse.linalg import bicgstab
-
-            X, _ = bicgstab(apply_fn, b, x0=Xold, tol=1e-9, maxiter=1200)
+            X, _klv_it, _klv_res = solve_moving_diph_stef_step(
+                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, Xold, t, dt,
+                scheme, tol=lin_tol, maxiter=lin_maxiter, method=method)
             s1 = slice_spacetime(cap1)
             s2 = slice_spacetime(cap2)
             Id1 = evD(D1, s1[4])
@@ -511,7 +511,8 @@ class StefanDiph2D(_ScalarSolverBase):
                 mk_b = mk_a + d[:, None] * normals
                 L0, L1 = segment_cell_intersection_moments(mesh, mk_b)
                 Jm = jnp.roll(L1, 1, axis=2) + (L0 - L1)
-                Jm = jnp.pad(Jm, ((0, 1), (0, 1), (0, 0)))
+                Jm = jnp.pad(Jm, [(0, mesh.np_shape[0] - Jm.shape[0]),
+                               (0, mesh.np_shape[1] - Jm.shape[1]), (0, 0)])
                 Jm = -latent_sign * rhoL * sign * Jm
                 if enable_stencil_fusion:
                     Jm = jax.vmap(_box3_filter, in_axes=2, out_axes=2)(Jm)

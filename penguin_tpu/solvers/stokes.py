@@ -78,7 +78,10 @@ class VelocityBorder:
         # node-position arrays over the full padded grid
         pos = []
         for d in range(N):
-            c = np.asarray(mesh_comp.nodes[d])
+            # nodes has length n+1; pad to the (possibly larger) DOF shape
+            c = np.zeros(shape[d])
+            nd = mesh_comp.n[d] + 1
+            c[:nd] = np.asarray(mesh_comp.nodes[d])
             shp = [1] * N
             shp[d] = shape[d]
             pos.append(jnp.asarray(np.broadcast_to(c.reshape(shp), shape)))

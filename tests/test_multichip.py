@@ -29,3 +29,39 @@ def test_dryrun_stokes_multichip():
     from penguin_tpu.parallel.sharding import dryrun_stokes_multichip
 
     dryrun_stokes_multichip(8, grid=(31, 31))
+
+
+def test_dryrun_moving_multichip():
+    """One full moving-geometry step (space-time capacity rebuild + Jacobi-
+    BiCGStab slab solve) sharded == unsharded, on a grid that is NOT
+    divisible by the device mesh (inert DOF padding grows to fit)."""
+    from penguin_tpu.parallel.sharding import dryrun_moving_multichip
+
+    dryrun_moving_multichip(8, grid=(30, 30))
+
+
+def test_padded_mesh_physics_unchanged():
+    """A mesh with extra inert DOF padding produces the same heat solution
+    on the real cells as the standard pad=1 mesh."""
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu.solvers.heat_fast import FastHeatBE
+
+    def make(pad):
+        mesh = pt.Mesh((30, 30), (4.0, 4.0), (0.0, 0.0), pad=pad)
+        body = pt.geometry.circle((2.0, 2.0), 1.0)
+        cap = pt.compute_capacity(body, mesh, p=4, s=1)
+        ops = pt.make_diffusion_ops(cap)
+        bc_b = pt.BorderConditions(
+            {k: pt.Dirichlet(0.0) for k in ("left", "right", "top", "bottom")}
+        )
+        fast = FastHeatBE(cap, ops, 1.0, lambda x, y, z, t: 0.0,
+                          pt.Dirichlet(1.0), bc_b, 0.01,
+                          cg_tol=1e-10, cg_maxiter=200)
+        T = fast.run(jnp.zeros(mesh.np_shape), 5)
+        return T[:30, :30]
+
+    T1 = make((1, 1))
+    T2 = make((3, 2))
+    assert float(jnp.abs(T1 - T2).max()) < 1e-10

@@ -220,3 +220,56 @@ def test_gibbs_thomson_curvature_slows_growth():
     # reducing the gradient into the liquid -> slower growth
     assert radii[0.1] < radii[0.0] - 1e-4, radii
     assert radii[0.1] > R0  # still grows
+
+
+def test_frank_disk_kinetic_undercooling_slows_growth():
+    """Kinetic Gibbs-Thomson sign regression (advisor finding, round 1):
+    eps_v > 0 must UNDERCOOL a solidifying front (g = Tm - eps_v*v_solid)
+    and therefore slow Frank-disk growth; the inverted sign superheated it
+    and accelerated growth instead."""
+    from scipy.special import exp1
+
+    from penguin_tpu.front_tracking import FrontTracker
+    from penguin_tpu.solvers.stefan2d import StefanMono2D
+
+    S = 1.0
+    St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
+    T_inf = -St
+    L, center = 8.0, (4.0, 4.0)
+    mesh = pt.Mesh((32, 32), (L, L), (0.0, 0.0))
+    t0, dt = 1.0, 0.02
+    R0 = S * np.sqrt(t0)
+
+    def T_analytic(x, y, t):
+        r = np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2)
+        s = r / np.sqrt(t)
+        val = T_inf * (1 - exp1(np.maximum(s**2 / 4, 1e-12)) / exp1(S**2 / 4))
+        return np.where(s >= S, val, 0.0)
+
+    radii = {}
+    for eps_v in (0.0, 0.2):
+        front = FrontTracker().create_circle(center, R0, n=32)
+        cap0 = pt.compute_capacity(lambda x, y: -front.sdf(x, y), mesh, p=4, s=1)
+        C = np.asarray(cap0.C_om)
+        Tw0 = jnp.asarray(T_analytic(C[..., 0], C[..., 1], t0))
+        bc_b = pt.BorderConditions(
+            {k_: pt.Dirichlet(float(T_inf))
+             for k_ in ("left", "right", "top", "bottom")})
+        gt = pt.GibbsThomson(Tm=0.0, eps_k=0.0, eps_v=eps_v)
+        phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                         lambda x, y, z, t: 0.0, 1.0)
+        ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                    pt.FluxJump(1.0, 1.0, 1.0))
+        solver = StefanMono2D(phase, bc_b, gt, dt,
+                              (Tw0, jnp.zeros(mesh.np_shape)), mesh, "BE")
+        solver.solve(front, 0.0, 0.06 - dt / 2, ic,
+                     newton_params=(10, 1e-4, 1e-6, 1.0),
+                     interior_fluid=False, method="pbicgstab",
+                     jac="intercept", p=4, s=1)
+        mk = np.asarray(solver.markers)
+        r = np.sqrt((mk[:, 0] - center[0]) ** 2 + (mk[:, 1] - center[1]) ** 2)
+        assert np.isfinite(r).all()
+        radii[eps_v] = r.mean()
+
+    assert radii[0.2] < radii[0.0] - 1e-5, radii
+    assert radii[0.2] > R0  # still grows
