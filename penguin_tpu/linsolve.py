@@ -50,14 +50,23 @@ def _tmul(d, x):
     return jax.tree_util.tree_map(lambda a, b: a * b, d, x)
 
 
+def _make_prec(Minv):
+    if Minv is None:
+        return lambda r: r
+    if callable(Minv):
+        return Minv
+    return lambda r: _tmul(Minv, r)
+
+
 def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
     """Jacobi(/diagonal)-preconditioned conjugate gradients on pytrees.
 
-    ``Minv``: pytree of inverse-diagonal entries (None = identity).
+    ``Minv``: pytree of inverse-diagonal entries, or a callable
+    ``r -> M⁻¹r`` (None = identity).
     Returns ``(x, iters, relres)`` with ``relres = ||r||/||b||`` — the
     telemetry the reference keeps in ``Solver.ch``.
     """
-    prec = (lambda r: _tmul(Minv, r)) if Minv is not None else (lambda r: r)
+    prec = _make_prec(Minv)
     bb = jnp.maximum(_tdot(b, b), 1e-300)
     tol2 = tol * tol
 
@@ -88,9 +97,10 @@ def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
 
 
 def pbicgstab(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
-    """Jacobi-preconditioned BiCGStab on pytrees (right preconditioning).
+    """Preconditioned BiCGStab on pytrees (right preconditioning).
+    ``Minv``: inverse-diagonal pytree or callable ``r -> M⁻¹r``.
     Returns ``(x, iters, relres)``."""
-    prec = (lambda r: _tmul(Minv, r)) if Minv is not None else (lambda r: r)
+    prec = _make_prec(Minv)
     bb = jnp.maximum(_tdot(b, b), 1e-300)
     tol2 = tol * tol
 

@@ -40,7 +40,9 @@ __all__ = [
     "psi_weights",
     "moving_mono_diag",
     "solve_moving_mono_step",
+    "solve_moving_mono_step_reduced",
     "solve_moving_diph_stef_step",
+    "solve_moving_diph_stef_step_reduced",
 ]
 
 
@@ -231,18 +233,108 @@ def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme,
     return apply, rhs
 
 
+def solve_moving_mono_step_reduced(cap_st, D, f, bc_i, border, x_prev, t, dt,
+                                   tol=1e-9, maxiter=500, g_override=None):
+    """BE slab solve with the interface unknown eliminated analytically.
+
+    For a Dirichlet-type interface closure (``ib == 0``: Dirichlet or
+    GibbsThomson) the γ row is ``Γ T_γ = Γ g``, so ``T_γ := g`` on cut cells
+    and the slab system collapses to one SPD bulk system::
+
+        (Va + Ψ⁺ Id GᵀWꜝG) T_ω = Vb T_ωⁿ + V f − Id GᵀWꜝH (Ψ⁺ g) + dV g
+
+    — the moving-interface analogue of the FastHeatBE elimination
+    (solvers/heat_fast.py).  Half the DOFs of the coupled system and CG
+    instead of BiCGStab (one matvec per iteration); under BE, Ψ⁺ = 1 on
+    every live cell so the operator restricted to the active set is
+    symmetric whenever the diffusivity is uniform.
+
+    Returns ``((T_ω, T_γ), iters, relres)`` shaped exactly like the full
+    solve (T_γ filled with g on active interface cells)."""
+    from ..linsolve import pcg
+
+    ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap_st)
+    ia, ib = build_I_bc(bc_i)
+    if not (np.isscalar(ib) and ib == 0.0):
+        raise ValueError("reduced slab solve requires a Dirichlet-type "
+                         "interface closure (ib == 0)")
+    psip, _ = psi_weights("BE", Vb, Va)
+    Id = _eval_D(D, C_sp)
+    dV = Va - Vb
+    act = (Va != 0) | (Vb != 0)
+    _, ifc_act = moving_masks(ops, Va, Vb, Gamma0, ia, ib)
+
+    gg = g_override if g_override is not None else _eval_g(bc_i, Cg_sp,
+                                                           Gamma0, t)
+    Tg = jnp.where(ifc_act, gg * jnp.ones_like(Va), 0.0)
+
+    def apply(TW):
+        TWa = jnp.where(act, TW, 0.0)
+        q = ops.flux(psip * TWa, jnp.zeros_like(TWa))
+        r = Va * TWa + Id * ops.GT(q)
+        r = jnp.where(act, r, TW)
+        if border is not None:
+            r = border.matvec(r, TW)
+        return r
+
+    TWp = x_prev[0]
+    fn1 = _eval_f(f, C_sp, t + dt)
+    qh = ops.flux(jnp.zeros_like(TWp), psip * Tg)
+    b = Vb * TWp + ops.V * fn1 - Id * ops.GT(qh) + dV * Tg
+    b = jnp.where(act, b, 0.0)
+    if border is not None:
+        b = border.rhs(b, t)
+
+    dG = Va + psip * Id * _diag_GtWG_moving(ops)
+    dG = jnp.where(act, dG, 1.0)
+    if border is not None:
+        from ..boundary import Dirichlet as _Dir, Neumann as _Neu, \
+            Periodic as _Per
+        for key, cond, axis, side, mask in border.items:
+            if isinstance(cond, (_Dir, GibbsThomson, _Per)):
+                dG = jnp.where(mask, 1.0, dG)
+            elif isinstance(cond, _Neu):
+                dG = jnp.where(mask, 1.0 / border.mesh.h[axis], dG)
+    dG = jnp.where(dG == 0.0, 1.0, dG)
+
+    x0 = jnp.where(act, TWp, 0.0)
+    TW, iters, relres = pcg(apply, b, x0, Minv=1.0 / dG, tol=tol,
+                            maxiter=maxiter)
+    return (TW, Tg), iters, relres
+
+
+def _diag_GtWG_moving(ops):
+    from ..assembly import _diag_GtWG
+
+    return _diag_GtWG(ops)
+
+
 def solve_moving_mono_step(cap_st, D, f, bc_i, border, x_prev, t, dt, scheme,
                            tol=1e-9, maxiter=500, g_override=None,
-                           method="pbicgstab"):
+                           method="auto"):
     """One moving-interface slab solve by Jacobi-preconditioned matrix-free
     Krylov with warm start from ``x_prev`` (the production replacement for
     the dense ``_direct_solve``; VERDICT round-1 item 2).
+
+    ``method="auto"`` picks the reduced SPD CG path (T_γ eliminated,
+    ``solve_moving_mono_step_reduced``) whenever the closure is
+    Dirichlet-type and the scheme is BE, else preconditioned BiCGStab on
+    the coupled system.
 
     Returns ``(x, iters, relres)`` — per-solve Krylov telemetry, mirroring
     the reference's ``Solver.ch`` convergence history
     (src/solver.jl:136-139)."""
     from ..linsolve import pbicgstab, pcg
 
+    ia, ib = build_I_bc(bc_i)
+    if method == "auto":
+        reducible = np.isscalar(ib) and ib == 0.0 and scheme == "BE"
+        method = "reduced" if reducible else "pbicgstab"
+    if method == "reduced":
+        return solve_moving_mono_step_reduced(
+            cap_st, D, f, bc_i, border, x_prev, t, dt,
+            tol=tol, maxiter=maxiter, g_override=g_override,
+        )
     apply_fn, rhs_fn = build_moving_mono_system(
         cap_st, D, f, bc_i, border, t, dt, scheme, g_override=g_override
     )
@@ -521,17 +613,99 @@ def build_moving_diph_stef_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
     return apply, rhs
 
 
+def solve_moving_diph_stef_step_reduced(cap1, cap2, D1, D2, f1, f2, ic,
+                                        border1, border2, x_prev, t, dt,
+                                        tol=1e-9, maxiter=500):
+    """BE Stefan diphasic slab solve with both interface unknowns eliminated.
+
+    The γ rows of the _stef system are pure diagonal ties
+    (``α₂T2γ = g`` and ``α₁T1γ − α₂T2γ = g``), so T1γ/T2γ are known and the
+    4-block system decouples into two independent SPD bulk systems, solved
+    together by one pytree CG (block-diagonal operator).  Returns
+    ``((TW1, TG1, TW2, TG2), iters, relres)`` like the coupled solve."""
+    from ..linsolve import pcg
+    from ..assembly import _diag_GtWG
+    from ..boundary import Dirichlet as _Dir, Neumann as _Neu, \
+        Periodic as _Per
+
+    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
+    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
+    p1p, _ = psi_weights("BE", Vb1, Va1)
+    p2p, _ = psi_weights("BE", Vb2, Va2)
+    a1, a2 = ic.scalar.alpha1, ic.scalar.alpha2
+    Id1, Id2 = _eval_D(D1, C1), _eval_D(D2, C2)
+    dV1, dV2 = Va1 - Vb1, Va2 - Vb2
+    act1 = (Va1 != 0) | (Vb1 != 0)
+    act2 = (Va2 != 0) | (Vb2 != 0)
+
+    gg = eval_condition_value(
+        ic.scalar.value, [Cg1[..., d] for d in range(Cg1.shape[-1])], t
+    ) if callable(ic.scalar.value) else ic.scalar.value * jnp.ones_like(Vb1)
+    TG2 = gg / a2
+    TG1 = (gg + a2 * TG2) / a1
+
+    def mk_phase(ops, Va, Vb, dV, pp, Id, act, TG, TWp, f, C, border):
+        def apply(TW):
+            TWa = jnp.where(act, TW, 0.0)
+            q = ops.flux(pp * TWa, jnp.zeros_like(TWa))
+            r = Va * TWa + Id * ops.GT(q)
+            r = jnp.where(act, r, TW)
+            if border is not None:
+                r = border.matvec(r, TW)
+            return r
+
+        fn1 = _eval_f(f, C, t + dt)
+        qh = ops.flux(jnp.zeros_like(TWp), pp * TG)
+        b = Vb * TWp + ops.V * fn1 - Id * ops.GT(qh) + dV * TG
+        b = jnp.where(act, b, 0.0)
+        if border is not None:
+            b = border.rhs(b, t)
+        dg = Va + pp * Id * _diag_GtWG(ops)
+        dg = jnp.where(act, dg, 1.0)
+        if border is not None:
+            for key, cond, axis, side, mask in border.items:
+                if isinstance(cond, (_Dir, GibbsThomson, _Per)):
+                    dg = jnp.where(mask, 1.0, dg)
+                elif isinstance(cond, _Neu):
+                    dg = jnp.where(mask, 1.0 / border.mesh.h[axis], dg)
+        dg = jnp.where(dg == 0.0, 1.0, dg)
+        return apply, b, dg
+
+    TW1p, _, TW2p, _ = x_prev
+    ap1, b1, dg1 = mk_phase(ops1, Va1, Vb1, dV1, p1p, Id1, act1, TG1, TW1p,
+                            f1, C1, border1)
+    ap2, b2, dg2 = mk_phase(ops2, Va2, Vb2, dV2, p2p, Id2, act2, TG2, TW2p,
+                            f2, C2, border2)
+
+    def apply(x):
+        return (ap1(x[0]), ap2(x[1]))
+
+    x0 = (jnp.where(act1, TW1p, 0.0), jnp.where(act2, TW2p, 0.0))
+    (TW1, TW2), iters, relres = pcg(apply, (b1, b2), x0,
+                                    Minv=(1.0 / dg1, 1.0 / dg2),
+                                    tol=tol, maxiter=maxiter)
+    return (TW1, TG1, TW2, TG2), iters, relres
+
+
 def solve_moving_diph_stef_step(cap1, cap2, D1, D2, f1, f2, ic, border1,
                                 border2, x_prev, t, dt, scheme,
-                                tol=1e-9, maxiter=800, method="pbicgstab"):
+                                tol=1e-9, maxiter=800, method="auto"):
     """Jacobi-preconditioned Krylov solve of the Stefan diphasic slab system
     with warm start; returns ``(x, iters, relres)``.  The γ rows are pure
     diagonals (α₁/α₂), so the Jacobi preconditioner resolves them in one
-    application."""
+    application.  ``method="auto"`` eliminates the γ unknowns analytically
+    under BE (``solve_moving_diph_stef_step_reduced``)."""
     from ..assembly import _diag_GtWG
     from ..boundary import Dirichlet as _Dir, Neumann as _Neu, Periodic as _Per
     from ..linsolve import pbicgstab, pcg
 
+    if method == "auto":
+        method = "reduced" if scheme == "BE" else "pbicgstab"
+    if method == "reduced":
+        return solve_moving_diph_stef_step_reduced(
+            cap1, cap2, D1, D2, f1, f2, ic, border1, border2, x_prev, t, dt,
+            tol=tol, maxiter=maxiter,
+        )
     apply_fn, rhs_fn = build_moving_diph_stef_system(
         cap1, cap2, D1, D2, f1, f2, ic, border1, border2, t, dt, scheme
     )
@@ -579,7 +753,7 @@ class MovingDiffusionUnsteadyMono(_ScalarSolverBase):
         self.scheme = scheme
         self.border = border_info(mesh, bc_b)
 
-    def solve(self, body_st, t_start, t_end, method="pbicgstab", p=6, s=1,
+    def solve(self, body_st, t_start, t_end, method="auto", p=6, s=1,
               keep_states=False, tol=1e-10, maxiter=2000):
         dt = self.dt
         K = int(np.ceil((t_end - t_start) / dt - 1e-12))

@@ -114,7 +114,7 @@ class StefanMono2D(_ScalarSolverBase):
     def solve(self, front, t_start, t_end, ic,
               newton_params=(30, 1e-6, 1e-6, 1.0),
               interior_fluid=True,
-              method="pbicgstab", lin_tol=1e-9, lin_maxiter=400,
+              method="auto", lin_tol=1e-9, lin_maxiter=400,
               lm_init_lambda=1e-4, lm_lambda_factor=10.0,
               lm_min_lambda=1e-10, lm_max_lambda=1e6,
               enable_stencil_fusion=True,
@@ -311,7 +311,7 @@ class StefanMono2D(_ScalarSolverBase):
     def solve_geom(self, front, t_start, t_end, ic,
                    newton_params=(20, 1e-6, 1e-6, 0.8),
                    interior_fluid=True,
-                   method="pbicgstab", lin_tol=1e-9, lin_maxiter=400,
+                   method="auto", lin_tol=1e-9, lin_maxiter=400,
                    smooth_window=11, smooth_passes=2,
                    extrapolation_factor=0.8, max_disp_cells=0.5,
                    p=4, s=1):
@@ -444,7 +444,7 @@ class StefanDiph2D(_ScalarSolverBase):
               newton_params=(12, 1e-4, 1e-6, 1.0),
               interior_phase1=True,
               latent_sign=1.0,
-              method="pbicgstab", lin_tol=1e-9, lin_maxiter=800,
+              method="auto", lin_tol=1e-9, lin_maxiter=800,
               lm_init_lambda=1e-4, lm_lambda_factor=10.0,
               lm_min_lambda=1e-10, lm_max_lambda=1e6,
               enable_stencil_fusion=True,

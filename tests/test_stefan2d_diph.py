@@ -53,10 +53,15 @@ def test_frank_disk_diphasic(jac):
                                 pt.FluxJump(1.0, 1.0, rhoL))
 
     solver = StefanDiph2D(ph1, ph2, bc_b, ic, dt, u0, mesh, "BE")
+    # stencil fusion destabilizes the diphasic GN at this coarse marker
+    # count (residuals plateau ~0.4 instead of converging); without it the
+    # GN residual settles at ~5e-3 per step and the front tracks the Frank
+    # solution to <2% (autodiff) / <1% (intercept)
     solver.solve(front, 0.0, 0.1 - dt / 2,
-                 newton_params=(10, 1e-4, 1e-6, 1.0),
+                 newton_params=(12, 1e-4, 1e-6, 1.0),
                  interior_phase1=True, latent_sign=-1.0,
-                 smooth_window=7, smooth_passes=2,
+                 enable_stencil_fusion=False,
+                 smooth_window=5, smooth_passes=1,
                  extrapolation_factor=0.5, jac=jac, p=4, s=1)
 
     mk = np.asarray(solver.markers)
@@ -64,6 +69,8 @@ def test_frank_disk_diphasic(jac):
     n_solves = solver.residual_log.shape[0]
     t_eff = t0 + n_solves * dt
     R_exact = S * np.sqrt(t_eff)
-    assert radii.mean() > R0 + 0.005
-    assert radii.std() / radii.mean() < 0.05
-    assert abs(radii.mean() - R_exact) / R_exact < 0.06, (radii.mean(), R_exact)
+    assert radii.mean() > R0 + 0.02
+    assert radii.std() / radii.mean() < 0.02
+    assert abs(radii.mean() - R_exact) / R_exact < 0.03, (radii.mean(), R_exact)
+    # the GN residual must actually converge (not just run out of budget)
+    assert solver.residual_log[-1] < 0.05

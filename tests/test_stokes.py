@@ -248,11 +248,15 @@ def test_outflow_channel_mass_conservation():
     solver.solve(method="lstsq")
     ux = np.asarray(solver.velocity(0))[:n, :n]
     assert np.isfinite(ux).all()
-    # flux is exactly conserved through every column except the one holding
-    # the pinned pressure DOF (its continuity row is the gauge row)
+    # flux is exactly conserved through every column except those touching
+    # the pinned pressure DOF (its continuity row is the gauge row; the
+    # pin column's flux defect shifts between columns i_pin and i_pin+1)
     q = ux.sum(axis=1)
-    assert q[1] > 0.05  # flow actually enters
-    assert np.abs(q[1:] - q[1]).max() / q[1] < 1e-9, q
+    i_pin = solver.pin_idx[0]
+    keep = [i for i in range(1, n) if i not in (i_pin, i_pin + 1)]
+    ref = q[keep[0]]
+    assert ref > 0.05  # flow actually enters
+    assert np.abs(q[keep] - ref).max() / ref < 1e-9, (q, i_pin)
     # zero-gradient exit: last column equals its upstream neighbor
     assert np.abs(ux[-1, 1:-1] - ux[-2, 1:-1]).max() < 1e-10
 
