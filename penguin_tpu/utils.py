@@ -20,6 +20,7 @@ __all__ = [
     "initialize_poiseuille_velocity_field",
     "initialize_radial_velocity_field",
     "remove_small_volumes",
+    "clamp_merge_small_cells",
     "adapt_timestep",
     "volume_redefinition",
 ]
@@ -111,6 +112,90 @@ def remove_small_volumes(capacity, tol):
         W=tuple(w * kf for w in capacity.W),
         C_om=capacity.C_om * kf[..., None],
     )
+
+
+def clamp_merge_small_cells(capacity, tol=1e-12):
+    """Merge sliver cut cells (0 < V < tol) into their nearest face
+    neighbor with V >= tol — the conditioning remedy of
+    ``clamp_merge_small_cells!`` (/root/reference/src/capacity.jl:746-851),
+    re-expressed as a functional fixed-shape transform:
+
+    - V, Γ and the per-axis A/B/W diagonals of the source are summed into
+      the target; target centroid becomes the volume-weighted average;
+      source entries are zeroed (cell_type -> 0);
+    - targets are restricted to the 2N face neighbors (the reference scans
+      *all* cells for the nearest good centroid, but for a resolved
+      interface the nearest good cell is always face-adjacent; this keeps
+      the transform O(N) shifted adds instead of O(cells²));
+    - unlike the reference we skip already-empty cells (their merge is a
+      no-op by construction).
+
+    Returns ``(new_capacity, n_merged)``."""
+    V = capacity.V
+    N = capacity.ndim
+    small = (V > 0) & (V < tol)
+    good = V >= tol
+    C = capacity.C_om
+
+    # candidate directions: (axis, ±1); shift_to_nb moves the neighbor's
+    # value onto the small cell's slot, shift_to_tgt the reverse
+    dirs = [(d, s) for d in range(N) for s in (+1, -1)]
+
+    def roll(x, d, s):
+        return jnp.roll(x, -s, axis=d)  # value of neighbor (idx + s)
+
+    d2s, oks = [], []
+    for d, s in dirs:
+        nb_good = roll(good, d, s)
+        nb_C = roll(C, d, s)
+        d2 = jnp.sum((C - nb_C) ** 2, axis=-1)
+        d2s.append(jnp.where(nb_good, d2, jnp.inf))
+        oks.append(nb_good)
+    d2_stack = jnp.stack(d2s)            # (2N, *shape)
+    choice = jnp.argmin(d2_stack, axis=0)
+    has_target = jnp.isfinite(jnp.min(d2_stack, axis=0))
+    merging = small & has_target
+
+    dt_ = V.dtype
+    addV = jnp.zeros_like(V)
+    addG = jnp.zeros_like(V)
+    addVC = jnp.zeros_like(C)
+    addA = [jnp.zeros_like(a) for a in capacity.A]
+    addB = [jnp.zeros_like(b) for b in capacity.B]
+    addW = [jnp.zeros_like(w) for w in capacity.W]
+    for k, (d, s) in enumerate(dirs):
+        m = (merging & (choice == k)).astype(dt_)
+        # scatter source -> target = shift the masked source values by +s
+        def to_tgt(x, m=m, d=d, s=s):
+            return jnp.roll(x * m, s, axis=d)
+
+        addV = addV + to_tgt(V)
+        addG = addG + to_tgt(capacity.Gamma)
+        addVC = addVC + jnp.roll((V * m)[..., None] * C, s, axis=d)
+        for i in range(N):
+            addA[i] = addA[i] + to_tgt(capacity.A[i])
+            addB[i] = addB[i] + to_tgt(capacity.B[i])
+            addW[i] = addW[i] + to_tgt(capacity.W[i])
+
+    keep = (~merging).astype(dt_)
+    newV = V * keep + addV
+    newC = jnp.where(
+        (newV > 0)[..., None],
+        (V[..., None] * C * keep[..., None] + addVC)
+        / jnp.maximum(newV, tol * 1e-6)[..., None],
+        C * keep[..., None],
+    )
+    new_cap = dataclasses.replace(
+        capacity,
+        V=newV,
+        Gamma=capacity.Gamma * keep + addG,
+        cell_types=jnp.where(merging, 0, capacity.cell_types),
+        C_om=newC,
+        A=tuple(a * keep + da for a, da in zip(capacity.A, addA)),
+        B=tuple(b * keep + db for b, db in zip(capacity.B, addB)),
+        W=tuple(w * keep + dw for w, dw in zip(capacity.W, addW)),
+    )
+    return new_cap, jnp.sum(merging)
 
 
 # -- adaptive time step (solver.jl:611-662) ---------------------------------

@@ -300,3 +300,46 @@ def test_mean_pressure_gauge_hydrostatic():
     # pressures are gauge-orphaned, reference trims them)
     grad = np.diff(p[n // 2])[:-1] / d
     assert np.allclose(np.abs(grad), 1.0, atol=1e-8), grad[:3]
+
+
+def test_outflow_prescribed_pressure_sets_level():
+    """Outflow(pressure) (reference boundary.jl:60-74): the prescribed
+    value acts as the pressure reference level at the outflow border —
+    the velocity field is identical to the free-pressure Outflow() + gauge
+    case, and the outlet pressure row equals the prescribed value."""
+    n = 16
+    fluid_a = _fluid_2d(n=n)
+    fluid_b = _fluid_2d(n=n)
+    wall = pt.Dirichlet(0.0)
+    inflow = pt.Dirichlet(lambda x, y, z: y * (1.0 - y))
+    p_ref = 2.5
+
+    def solve(fluid, outflow, gauge):
+        bc_ux = pt.BorderConditions({"left": inflow, "right": outflow,
+                                     "bottom": wall, "top": wall})
+        bc_uy = pt.BorderConditions({"left": wall, "right": outflow,
+                                     "bottom": wall, "top": wall})
+        s = StokesMono(fluid, (bc_ux, bc_uy), gauge, pt.Dirichlet(0.0))
+        s.solve(method="lstsq")
+        return s
+
+    s_ref = solve(fluid_b, pt.Outflow(p_ref), PinPressureGauge())
+    # the free-pressure run must gauge the SAME cell (a pinned continuity
+    # row is locally invasive in an open domain, so pin location matters)
+    pin_cell = tuple(int(v) for v in
+                     np.argwhere(np.asarray(s_ref.outflow_p_mask))[0])
+    s_free = solve(fluid_a, pt.Outflow(), PinPressureGauge(pin_cell))
+    for d in range(2):
+        du = np.abs(np.asarray(s_free.velocity(d))
+                    - np.asarray(s_ref.velocity(d)))[:n, :n].max()
+        assert du < 1e-8, du
+    p = np.asarray(s_ref.pressure)
+    # prescribed level imposed on the pinned outlet reference cell
+    pin = np.asarray(s_ref.outflow_p_mask)
+    assert pin.sum() == 1
+    np.testing.assert_allclose(p[pin], p_ref, atol=1e-9)
+    # active pressure fields agree up to the constant level shift (orphan
+    # cells are identity rows = 0 in both runs)
+    act = np.asarray(s_ref.p_active)
+    diff = (np.asarray(s_ref.pressure) - np.asarray(s_free.pressure))[act]
+    assert np.abs(diff - diff.mean()).max() < 1e-7
