@@ -48,7 +48,7 @@ def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
 
     t0w = time.time()
     solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
-                 interior_fluid=False, method="bicgstab", jac=jac, p=4, s=1)
+                 interior_fluid=False, method="auto", jac=jac, p=4, s=1)
     wall = time.time() - t0w
     iters = int(solver.iters_log.sum())
     print(f"[jac={jac}] grid {n}x{n}, {nm} markers, "
@@ -56,7 +56,7 @@ def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
     print(f"total {wall:.2f}s (incl. compile)")
     t0w = time.time()
     solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
-                 interior_fluid=False, method="bicgstab", jac=jac, p=4, s=1)
+                 interior_fluid=False, method="auto", jac=jac, p=4, s=1)
     wall = time.time() - t0w
     iters = int(solver.iters_log.sum())
     print(f"cached: {wall:.2f}s for {iters} GN iterations -> "
@@ -64,5 +64,12 @@ def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
 
 
 if __name__ == "__main__":
-    main(jac="autodiff")
-    main(jac="intercept")
+    import sys
+    if len(sys.argv) > 1:
+        n = int(sys.argv[1])
+        main(n=n, nm=n, jac="intercept")
+    else:
+        main(jac="autodiff")
+        main(jac="intercept")
+        for n in (128, 256):
+            main(n=n, nm=n, jac="intercept")

@@ -1,0 +1,38 @@
+"""2D prescribed-motion diffusion: a disk translating across the domain,
+space-time capacities rebuilt inside the jitted scan — reference
+examples/2D/SolidMoving/MovingHeat.jl.
+
+Run:  python examples/2D/moving_heat.py
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.moving_diffusion import MovingDiffusionUnsteadyMono
+
+n, L = 40, 4.0
+mesh = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+vx, R = 1.0, 0.8
+body_st = lambda x, y, t: -(jnp.sqrt((x - 1.2 - vx * t) ** 2 + (y - 2.0) ** 2) - R)
+
+cap0 = pt.compute_capacity(lambda x, y: body_st(x, y, 0.0), mesh, p=4, s=1)
+phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0), lambda x, y, z, t: 0.0, 1.0)
+bc_b = pt.BorderConditions({k: pt.Dirichlet(0.0)
+                            for k in ("left", "right", "top", "bottom")})
+T0 = jnp.zeros(mesh.np_shape)
+solver = MovingDiffusionUnsteadyMono(phase, bc_b, pt.Dirichlet(1.0), 0.02,
+                                     (T0, jnp.zeros(mesh.np_shape)), mesh, "BE")
+solver.solve(body_st, 0.0, 0.8, p=4, s=1)
+
+T = np.asarray(solver.x[0])
+capT = pt.compute_capacity(lambda x, y: body_st(x, y, 0.8), mesh, p=4, s=1)
+inside = np.asarray(capT.V) > 1e-10
+print(f"field inside the translated disk: [{T[inside].min():.4f}, "
+      f"{T[inside].max():.4f}] (heating toward the moving-wall value 1)")
+print(f"max Krylov relres: {np.asarray(solver.krylov_relres).max():.1e}")
+assert np.isfinite(T).all() and T[inside].max() <= 1.0 + 1e-6
+assert T[inside].mean() > 0.3  # the disk interior has heated up

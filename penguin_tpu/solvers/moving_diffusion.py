@@ -41,14 +41,28 @@ __all__ = [
     "moving_mono_diag",
     "solve_moving_mono_step",
     "solve_moving_mono_step_reduced",
+    "solve_moving_diph_step",
+    "moving_diph_diag",
     "solve_moving_diph_stef_step",
     "solve_moving_diph_stef_step_reduced",
 ]
 
 
-def slice_spacetime(cap_st):
+def slice_spacetime(cap_st, clamp_rel=0.0):
     """Split a space-time capacity into its spatial time-slot-0 operator
-    data + the start/end volumes (reference slicing, diffusion.jl:112-151)."""
+    data + the start/end volumes (reference slicing, diffusion.jl:112-151).
+
+    ``clamp_rel``: per-slab small-cell clamp (the moving analogue of
+    ``remove_small_volumes!``).  A cell *born or dying inside the slab*
+    (e.g. Va = 0, Vb ~ 1e-5·h²) produces a bulk row whose every entry is
+    O(sliver) — the slab system becomes numerically singular (measured
+    cond ~ 1e17 on a 24² translating circle).  Cells whose spatial volume
+    never exceeds ``clamp_rel``·(max cell volume) during the slab are
+    disconnected: their V/A/B/Γ entries zero, so the activity masks turn
+    them into identity DOFs.  Error is O(clamp_rel) in the sliver only.
+    Default 0 (off): the Stefan/front-coupled paths need exact sliver dV
+    for the interface velocity; the general prescribed-motion builders
+    pass clamp_rel=1e-4 explicitly."""
     N = cap_st.ndim - 1
     sel = (..., 0)
     A_sp = tuple(cap_st.A[d][sel] for d in range(N))
@@ -60,6 +74,39 @@ def slice_spacetime(cap_st):
     Vb = cap_st.A[N][..., 1]  # at slab end
     C_sp = cap_st.C_om[..., 0, :N]
     Cg_sp = cap_st.C_ga[..., 0, :N]
+    if clamp_rel:
+        from ..operators import _shift_m as _shm
+
+        vmax = jnp.maximum(Va, Vb)
+        # two-tier clamp.  Tier 1 (volume): zero the slab volumes of
+        # partially-born slivers (vmax > 0 so truly-empty cells keep their
+        # staggered W slots, which carry the neighbor's interface flux —
+        # e.g. an interface exactly on a node).  A sliver with zero B but
+        # tiny Vb would otherwise own a bulk row with only a -dV·Tγ entry:
+        # numerically singular.  The cell becomes a storage-free membrane.
+        small_v = (vmax > 0) & (vmax < clamp_rel * jnp.max(vmax))
+        kv = (~small_v).astype(Va.dtype)
+        Va = Va * kv
+        Vb = Vb * kv
+        V0 = V0 * kv
+        Gamma0 = Gamma0 * kv
+        # Tier 2 (disconnection): additionally sever the A/B/W couplings,
+        # but only when the apertures are themselves tiny (~ sqrt(V) for a
+        # corner sliver) — a V~0 cell with an O(1) aperture is the closure
+        # carrier for its neighbor's interface flux and must stay wired.
+        small_d = small_v
+        ap_rel = clamp_rel ** 0.5
+        for arr in A_sp + B_sp:
+            small_d = small_d & (arr < ap_rel * jnp.max(arr))
+        kf = (~small_d).astype(Va.dtype)
+        A_sp = tuple(a * kf for a in A_sp)
+        B_sp = tuple(b * kf for b in B_sp)
+        # no flux through a removed sliver: W slot d/j touches cells j and
+        # j-1 (dm is backward), so zero it when either one is disconnected
+        # (1 - shift(1-kf) keeps out-of-domain "neighbors" alive).
+        W_sp = tuple(
+            w * kf * (1.0 - _shm(1.0 - kf, d)) for d, w in enumerate(W_sp)
+        )
     ops = DiffusionOps(A=A_sp, B=B_sp, V=V0, Wdag=make_wdag(W_sp))
     return ops, Va, Vb, Gamma0, C_sp, Cg_sp
 
@@ -348,13 +395,13 @@ def solve_moving_mono_step(cap_st, D, f, bc_i, border, x_prev, t, dt, scheme,
 
 
 def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
-                             border2, t, dt, scheme):
+                             border2, t, dt, scheme, clamp_rel=1e-4):
     """(apply, rhs) for the diphasic slab system
     (A_diph_unstead_diff_moving, diffusion.jl:292-501)."""
     from ..assembly import _col_G_nz
 
-    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
-    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
+    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1, clamp_rel)
+    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2, clamp_rel)
     p1p, p1m = psi_weights(scheme, Vb1, Va1)
     p2p, p2m = psi_weights(scheme, Vb2, Va2)
     a1, a2 = ic.scalar.alpha1, ic.scalar.alpha2
@@ -364,20 +411,29 @@ def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
     dV1, dV2 = Va1 - Vb1, Va2 - Vb2
     act1 = (Va1 != 0) | (Vb1 != 0) | _col_G_nz(ops1)
     act2 = (Va2 != 0) | (Vb2 != 0) | _col_G_nz(ops2)
+    # interface DOF activity (remove_zero_rows_cols! semantics, solver.jl:
+    # 59-78): away from cut cells the jump/flux rows r2/r4 would be zero
+    # (H columns and dV vanish), leaving TG free -> identity rows instead.
+    from ..assembly import _col_H_nz
+    cut = (_col_H_nz(ops1) | _col_H_nz(ops2) | (G1 != 0) | (G2 != 0)
+           | (dV1 != 0) | (dV2 != 0))
 
     def apply(x):
         TW1, TG1, TW2, TG2 = x
-        q1 = ops1.flux(p1p * TW1, p1p * TG1)
-        q2 = ops2.flux(p2p * TW2, p2p * TG2)
-        r1 = Va1 * TW1 + Id1 * ops1.GT(q1) - dV1 * TG1
-        r3 = Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2
-        r2 = a1 * TG1 - a2 * TG2
+        TG1a = jnp.where(cut, TG1, 0.0)
+        TG2a = jnp.where(cut, TG2, 0.0)
+        q1 = ops1.flux(p1p * TW1, p1p * TG1a)
+        q2 = ops2.flux(p2p * TW2, p2p * TG2a)
+        r1 = Va1 * TW1 + Id1 * ops1.GT(q1) - dV1 * TG1a
+        r3 = Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2a
+        r2 = jnp.where(cut, a1 * TG1a - a2 * TG2a, TG1)
         r4 = (
             be1 * ops1.HT(q1)
-            - dV1 * TG1
+            - dV1 * TG1a
             + be2 * ops2.HT(q2)
-            - dV2 * TG2
+            - dV2 * TG2a
         )
+        r4 = jnp.where(cut, r4, TG2)
         r1 = jnp.where(act1, r1, TW1)
         r3 = jnp.where(act2, r3, TW2)
         if border1 is not None:
@@ -406,10 +462,12 @@ def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
                 src = V0 * fn1
             return Vb * TW - Id * ops.GT(qm) + src
 
-        b1 = bulk(ops1, Vb1, Id1, p1m, TW1, TG1, f1, ops1.V, C1)
-        b3 = bulk(ops2, Vb2, Id2, p2m, TW2, TG2, f2, ops2.V, C2)
-        b2 = gg
-        b4 = G2 * hh
+        b1 = bulk(ops1, Vb1, Id1, p1m, TW1, jnp.where(cut, TG1, 0.0),
+                  f1, ops1.V, C1)
+        b3 = bulk(ops2, Vb2, Id2, p2m, TW2, jnp.where(cut, TG2, 0.0),
+                  f2, ops2.V, C2)
+        b2 = jnp.where(cut, gg, 0.0)
+        b4 = jnp.where(cut, G2 * hh, 0.0)
         if border1 is not None:
             b1 = border1.rhs(b1, t)
         if border2 is not None:
@@ -417,6 +475,74 @@ def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
         return (b1, b2, b3, b4)
 
     return apply, rhs
+
+
+def moving_diph_diag(cap1, cap2, D1, D2, ic, border1, border2, scheme,
+                     clamp_rel=1e-4):
+    """Jacobi diagonal of the general diphasic slab system (rows r1..r4 of
+    ``build_moving_diph_system`` wrt their own unknowns TW1/TG1/TW2/TG2)."""
+    from ..assembly import _col_G_nz, _diag_GtWG, _diag_HtWH
+    from ..boundary import Dirichlet as _Dir, Neumann as _Neu, \
+        Periodic as _Per
+
+    def phase_bulk(cap, D, border):
+        ops, Va, Vb, G0, C_sp, _ = slice_spacetime(cap, clamp_rel)
+        pp, _ = psi_weights(scheme, Vb, Va)
+        Id = _eval_D(D, C_sp)
+        act = (Va != 0) | (Vb != 0) | _col_G_nz(ops)
+        d = Va + pp * Id * _diag_GtWG(ops)
+        d = jnp.where(act, d, 1.0)
+        if border is not None:
+            for key, cond, axis, side, mask in border.items:
+                if isinstance(cond, (_Dir, GibbsThomson, _Per)):
+                    d = jnp.where(mask, 1.0, d)
+                elif isinstance(cond, _Neu):
+                    d = jnp.where(mask, 1.0 / border.mesh.h[axis], d)
+        return jnp.where(d == 0.0, 1.0, d), ops, Va, Vb
+
+    d1, ops1, Va1, Vb1 = phase_bulk(cap1, D1, border1)
+    d3, ops2, Va2, Vb2 = phase_bulk(cap2, D2, border2)
+    from ..assembly import _col_H_nz as _colH
+    _, _, _, G1, _, _ = slice_spacetime(cap1, clamp_rel)
+    _, _, _, G2, _, _ = slice_spacetime(cap2, clamp_rel)
+    cut = (_colH(ops1) | _colH(ops2) | (G1 != 0) | (G2 != 0)
+           | (Va1 != Vb1) | (Va2 != Vb2))
+    a1 = ic.scalar.alpha1
+    be2 = ic.flux.beta2
+    d2 = jnp.where(cut, a1 * jnp.ones_like(d1), 1.0)
+    d4 = jnp.where(cut, be2 * _diag_HtWH(ops2) - (Va2 - Vb2), 1.0)
+    d2 = jnp.where(d2 == 0.0, 1.0, d2)
+    d4 = jnp.where(d4 == 0.0, 1.0, d4)
+    return (d1, d2, d3, d4)
+
+
+def solve_moving_diph_step(cap1, cap2, D1, D2, f1, f2, ic, border1, border2,
+                           x_prev, t, dt, scheme, tol=1e-10, maxiter=3000,
+                           method="pgmres", restart=150):
+    """Row-equilibrated Krylov solve of the general diphasic slab system
+    with warm start; returns ``(x, iters, relres)`` telemetry.
+
+    Default is left-Jacobi GMRES: the 4-block jump system mixes bulk rows
+    (scale V ~ hᵈ) with O(1) jump rows, and BiCGStab stalls on that
+    row-scaling even when the equilibrated spectrum is benign (measured on
+    the 24² moving-circle case); GMRES(40) converges in one cycle."""
+    from ..linsolve import pbicgstab, pgmres, row_norm_equilibrator
+
+    apply_fn, rhs_fn = build_moving_diph_system(
+        cap1, cap2, D1, D2, f1, f2, ic, border1, border2, t, dt, scheme
+    )
+    b = rhs_fn(x_prev)
+    if method == "direct":
+        return _direct_solve(apply_fn, b), 0, 0.0
+    if method == "pbicgstab":
+        diag = moving_diph_diag(cap1, cap2, D1, D2, ic, border1, border2,
+                                scheme)
+        Minv = tuple(1.0 / d for d in diag)
+        return pbicgstab(apply_fn, b, x_prev, Minv=Minv, tol=tol,
+                         maxiter=maxiter)
+    Minv = row_norm_equilibrator(apply_fn, b)
+    return pgmres(apply_fn, b, x_prev, Minv=Minv, tol=tol, maxiter=maxiter,
+                  restart=restart)
 
 
 def psi_conv_weights(Vb, Va):
@@ -430,7 +556,7 @@ def psi_conv_weights(Vb, Va):
 
 
 def build_moving_advdiff_system(cap_st, D, f, bc_i, border, u_bulk, u_gamma,
-                                t, dt, scheme):
+                                t, dt, scheme, clamp_rel=1e-4):
     """(apply, rhs) for prescribed-motion advection-diffusion
     (A/b_mono_unstead_advdiff_moving, advectiondiffusion.jl:64-200): the
     moving diffusion blocks plus spatial flux-form convection weighted by
@@ -439,7 +565,7 @@ def build_moving_advdiff_system(cap_st, D, f, bc_i, border, u_bulk, u_gamma,
 
     from ..operators import make_convection_ops
 
-    ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap_st)
+    ops, Va, Vb, Gamma0, C_sp, Cg_sp = slice_spacetime(cap_st, clamp_rel)
     psip, psim = psi_weights(scheme, Vb, Va)
     cpp, cpm = psi_conv_weights(Vb, Va)
     ia, ib = build_I_bc(bc_i)
@@ -451,19 +577,25 @@ def build_moving_advdiff_system(cap_st, D, f, bc_i, border, u_bulk, u_gamma,
         W=tuple(jnp.where(w != 0, 1.0 / w, 0.0) for w in ops.Wdag),
     )
     conv = make_convection_ops(cap_sp, u_bulk, u_gamma)
+    # zero-row/col elimination -> identity DOFs (see build_moving_mono_system)
+    bulk_act, ifc_act = moving_masks(ops, Va, Vb, Gamma0, ia, ib)
 
     def apply(x):
         TW, TG = x
-        q = ops.flux(psip * TW, psip * TG)
+        TWa = jnp.where(bulk_act, TW, 0.0)
+        TGa = jnp.where(ifc_act, TG, 0.0)
+        q = ops.flux(psip * TWa, psip * TGa)
         r1 = (
-            Va * TW
+            Va * TWa
             + Id * ops.GT(q)
-            - dV * TG
-            - (conv.conv(cpp * TW) + 0.5 * conv.kconv(cpp * TW))
-            - 0.5 * conv.kconv(cpp * TG)
+            - dV * TGa
+            - (conv.conv(cpp * TWa) + 0.5 * conv.kconv(cpp * TWa))
+            - 0.5 * conv.kconv(cpp * TGa)
         )
-        q2 = ops.flux(TW, TG)
-        r2 = ib * ops.HT(q2) + ia * Gamma0 * TG
+        q2 = ops.flux(TWa, TGa)
+        r2 = ib * ops.HT(q2) + ia * Gamma0 * TGa
+        r1 = jnp.where(bulk_act, r1, TW)
+        r2 = jnp.where(ifc_act, r2, TG)
         if border is not None:
             r1 = border.matvec(r1, TW)
         return (r1, r2)
@@ -471,6 +603,7 @@ def build_moving_advdiff_system(cap_st, D, f, bc_i, border, u_bulk, u_gamma,
     def rhs(x_prev):
         TW, TG = x_prev
         gg = _eval_g(bc_i, Cg_sp, Gamma0, t)
+        gg = jnp.where(ifc_act, gg, 0.0)
         fn1 = _eval_f(f, C_sp, t + dt)
         if scheme == "CN":
             fn = _eval_f(f, C_sp, t)
@@ -493,7 +626,7 @@ def build_moving_advdiff_system(cap_st, D, f, bc_i, border, u_bulk, u_gamma,
                 - 0.5 * conv.kconv(TG)
                 - conv.conv(cpm * TW)
             )
-        b2 = Gamma0 * gg
+        b2 = jnp.where(ifc_act, Gamma0 * gg, 0.0)
         if border is not None:
             b1 = border.rhs(b1, t)
         return (b1, b2)
@@ -516,7 +649,8 @@ class MovingAdvDiffusionUnsteadyMono(_ScalarSolverBase):
         self.border = border_info(mesh, bc_b)
 
     def solve(self, body_st, t_start, t_end, u_bulk, u_gamma,
-              method="direct", p=6, s=1):
+              method="pgmres", p=6, s=1, tol=1e-10, maxiter=2000,
+              restart=150):
         dt = self.dt
         K = int(np.ceil((t_end - t_start) / dt - 1e-12))
         D, f = self.phase.diffusion, self.phase.source
@@ -529,21 +663,34 @@ class MovingAdvDiffusionUnsteadyMono(_ScalarSolverBase):
             )
             b = rhs_fn(x)
             if method == "direct":
-                return _direct_solve(apply_fn, b)
-            from jax.scipy.sparse.linalg import bicgstab
+                return _direct_solve(apply_fn, b), 0, 0.0
+            if method == "pbicgstab":
+                from ..linsolve import pbicgstab
 
-            xn, _ = bicgstab(apply_fn, b, x0=x, tol=1e-10, maxiter=2000)
-            return xn
+                # the diffusion diagonal preconditions the advective system
+                # too (convection is off-diagonal in flux form)
+                diag = moving_mono_diag(cap_st, D, bc_i, border, scheme)
+                Minv = jax.tree_util.tree_map(lambda d: 1.0 / d, diag)
+                return pbicgstab(apply_fn, b, x, Minv=Minv, tol=tol,
+                                 maxiter=maxiter)
+            from ..linsolve import pgmres, row_norm_equilibrator
+
+            Minv = row_norm_equilibrator(apply_fn, b)
+            return pgmres(apply_fn, b, x, Minv=Minv, tol=tol,
+                          maxiter=maxiter, restart=restart)
 
         @jax.jit
         def run(u0):
             def body(x, k):
-                return step(x, t_start + k * dt), None
+                xn, iters, res = step(x, t_start + k * dt)
+                return xn, (iters, res)
 
             return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
 
-        xf, _ = run(self.u0)
+        xf, (iters, res) = run(self.u0)
         self.x = xf
+        self.krylov_iters = np.asarray(iters)
+        self.krylov_relres = np.asarray(res)
         self.states = [xf]
         return self.x
 
@@ -805,8 +952,9 @@ class MovingDiffusionUnsteadyDiph(_ScalarSolverBase):
         self.mesh = mesh
         self.scheme = scheme
 
-    def solve(self, body_st, body_c_st, t_start, t_end, method="direct",
-              p=6, s=1, keep_states=False):
+    def solve(self, body_st, body_c_st, t_start, t_end, method="pgmres",
+              p=6, s=1, keep_states=False, tol=1e-10, maxiter=3000,
+              restart=150):
         dt = self.dt
         K = int(np.ceil((t_end - t_start) / dt - 1e-12))
         mesh, scheme, ic = self.mesh, self.scheme, self.ic
@@ -819,34 +967,31 @@ class MovingDiffusionUnsteadyDiph(_ScalarSolverBase):
             cap2 = compute_capacity_spacetime(body_c_st, mesh, t, t + dt, p=p, s=s)
             b1m = border_info(mesh, bc_b, phase_mask=cap1.cell_types[..., 0] != 0)
             b2m = border_info(mesh, bc_b, phase_mask=cap2.cell_types[..., 0] != 0)
-            apply_fn, rhs_fn = build_moving_diph_system(
-                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, t, dt, scheme
+            return solve_moving_diph_step(
+                cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, x, t, dt, scheme,
+                tol=tol, maxiter=maxiter, method=method, restart=restart,
             )
-            b = rhs_fn(x)
-            if method == "direct":
-                return _direct_solve(apply_fn, b)
-            from jax.scipy.sparse.linalg import bicgstab
-
-            xn, _ = bicgstab(apply_fn, b, x0=x, tol=1e-10, maxiter=3000)
-            return xn
 
         @jax.jit
         def run(u0):
             def body(x, k):
                 t = t_start + k * dt
-                return step(x, t), None
+                xn, iters, res = step(x, t)
+                return xn, (iters, res)
 
             return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
 
-        xf, _ = run(self.u0)
+        xf, (iters, res) = run(self.u0)
         self.x = xf
+        self.krylov_iters = np.asarray(iters)
+        self.krylov_relres = np.asarray(res)
         self.states = [xf]
         return self.x
 
 
 def build_moving_advdiff_diph_system(cap1, cap2, D1, D2, f1, f2, ic,
                                      border1, border2, u_bulk, u_gamma,
-                                     t, dt, scheme):
+                                     t, dt, scheme, clamp_rel=1e-4):
     """(apply, rhs) for prescribed-motion diphasic advection-diffusion
     (A/b_diph_unstead_advdiff_moving, advectiondiffusion.jl:266-508): the
     diphasic moving-diffusion blocks with flux-form convection added to the
@@ -859,8 +1004,8 @@ def build_moving_advdiff_diph_system(cap1, cap2, D1, D2, f1, f2, ic,
     from ..boundary import eval_condition_value
     from ..operators import make_convection_ops
 
-    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1)
-    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2)
+    ops1, Va1, Vb1, G1, C1, Cg1 = slice_spacetime(cap1, clamp_rel)
+    ops2, Va2, Vb2, G2, C2, Cg2 = slice_spacetime(cap2, clamp_rel)
     p1p, p1m = psi_weights(scheme, Vb1, Va1)
     p2p, p2m = psi_weights(scheme, Vb2, Va2)
     c1p, c1m = psi_conv_weights(Vb1, Va1)
@@ -871,6 +1016,11 @@ def build_moving_advdiff_diph_system(cap1, cap2, D1, D2, f1, f2, ic,
     dV1, dV2 = Va1 - Vb1, Va2 - Vb2
     act1 = (Va1 != 0) | (Vb1 != 0) | _col_G_nz(ops1)
     act2 = (Va2 != 0) | (Vb2 != 0) | _col_G_nz(ops2)
+    # identity rows for TG DOFs away from the interface (see
+    # build_moving_diph_system; zero r2/r4 rows make the system singular)
+    from ..assembly import _col_H_nz
+    cut = (_col_H_nz(ops1) | _col_H_nz(ops2) | (G1 != 0) | (G2 != 0)
+           | (dV1 != 0) | (dV2 != 0))
 
     def spatial_conv(ops):
         cap_sp = types.SimpleNamespace(
@@ -883,23 +1033,26 @@ def build_moving_advdiff_diph_system(cap1, cap2, D1, D2, f1, f2, ic,
 
     def apply(x):
         TW1, TG1, TW2, TG2 = x
-        q1 = ops1.flux(p1p * TW1, p1p * TG1)
-        q2 = ops2.flux(p2p * TW2, p2p * TG2)
+        TG1a = jnp.where(cut, TG1, 0.0)
+        TG2a = jnp.where(cut, TG2, 0.0)
+        q1 = ops1.flux(p1p * TW1, p1p * TG1a)
+        q2 = ops2.flux(p2p * TW2, p2p * TG2a)
         r1 = (
-            Va1 * TW1 + Id1 * ops1.GT(q1) - dV1 * TG1
+            Va1 * TW1 + Id1 * ops1.GT(q1) - dV1 * TG1a
             - (conv1.conv(c1p * TW1) + 0.5 * conv1.kconv(c1p * TW1))
-            - 0.5 * conv1.kconv(c1p * TG1)
+            - 0.5 * conv1.kconv(c1p * TG1a)
         )
         r3 = (
-            Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2
+            Va2 * TW2 + Id2 * ops2.GT(q2) - dV2 * TG2a
             - (conv2.conv(c2p * TW2) + 0.5 * conv2.kconv(c2p * TW2))
-            - 0.5 * conv2.kconv(c2p * TG2)
+            - 0.5 * conv2.kconv(c2p * TG2a)
         )
-        r2 = a1 * TG1 - a2 * TG2
+        r2 = jnp.where(cut, a1 * TG1a - a2 * TG2a, TG1)
         r4 = (
-            be1 * ops1.HT(q1) - dV1 * TG1
-            + be2 * ops2.HT(q2) - dV2 * TG2
+            be1 * ops1.HT(q1) - dV1 * TG1a
+            + be2 * ops2.HT(q2) - dV2 * TG2a
         )
+        r4 = jnp.where(cut, r4, TG2)
         r1 = jnp.where(act1, r1, TW1)
         r3 = jnp.where(act2, r3, TW2)
         if border1 is not None:
@@ -935,10 +1088,12 @@ def build_moving_advdiff_diph_system(cap1, cap2, D1, D2, f1, f2, ic,
                 - conv.conv(cm * TW)
             )
 
-        b1 = bulk(ops1, Vb1, Id1, p1m, c1m, conv1, TW1, TG1, f1, C1)
-        b3 = bulk(ops2, Vb2, Id2, p2m, c2m, conv2, TW2, TG2, f2, C2)
-        b2 = gg
-        b4 = G2 * hh
+        b1 = bulk(ops1, Vb1, Id1, p1m, c1m, conv1, TW1,
+                  jnp.where(cut, TG1, 0.0), f1, C1)
+        b3 = bulk(ops2, Vb2, Id2, p2m, c2m, conv2, TW2,
+                  jnp.where(cut, TG2, 0.0), f2, C2)
+        b2 = jnp.where(cut, gg, 0.0)
+        b4 = jnp.where(cut, G2 * hh, 0.0)
         if border1 is not None:
             b1 = border1.rhs(b1, t)
         if border2 is not None:
@@ -962,7 +1117,8 @@ class MovingAdvDiffusionUnsteadyDiph(_ScalarSolverBase):
         self.scheme = scheme
 
     def solve(self, body_st, body_c_st, t_start, t_end, u_bulk, u_gamma,
-              method="direct", p=6, s=1):
+              method="pgmres", p=6, s=1, tol=1e-10, maxiter=3000,
+              restart=150):
         dt = self.dt
         K = int(np.ceil((t_end - t_start) / dt - 1e-12))
         mesh, scheme, ic = self.mesh, self.scheme, self.ic
@@ -981,20 +1137,30 @@ class MovingAdvDiffusionUnsteadyDiph(_ScalarSolverBase):
             )
             b = rhs_fn(x)
             if method == "direct":
-                return _direct_solve(apply_fn, b)
-            from jax.scipy.sparse.linalg import bicgstab
+                return _direct_solve(apply_fn, b), 0, 0.0
+            from ..linsolve import pbicgstab, pgmres, row_norm_equilibrator
 
-            xn, _ = bicgstab(apply_fn, b, x0=x, tol=1e-10, maxiter=3000)
-            return xn
+            if method == "pbicgstab":
+                diag = moving_diph_diag(cap1, cap2, D1, D2, ic, b1m, b2m,
+                                        scheme)
+                Minv = tuple(1.0 / d for d in diag)
+                return pbicgstab(apply_fn, b, x, Minv=Minv, tol=tol,
+                                 maxiter=maxiter)
+            Minv = row_norm_equilibrator(apply_fn, b)
+            return pgmres(apply_fn, b, x, Minv=Minv, tol=tol,
+                          maxiter=maxiter, restart=restart)
 
         @jax.jit
         def run(u0):
             def body(x, k):
-                return step(x, t_start + k * dt), None
+                xn, iters, res = step(x, t_start + k * dt)
+                return xn, (iters, res)
 
             return jax.lax.scan(body, u0, jnp.arange(K + 1.0))
 
-        xf, _ = run(self.u0)
+        xf, (iters, res) = run(self.u0)
         self.x = xf
+        self.krylov_iters = np.asarray(iters)
+        self.krylov_relres = np.asarray(res)
         self.states = [xf]
         return self.x

@@ -237,3 +237,42 @@ def test_moving_static_body_3d_matches_static_solver():
     sel = ct != 0
     err = np.abs(np.asarray(mv.x[0])[sel] - np.asarray(st.x_omega)[sel]).max()
     assert err < 2e-3, err
+
+
+def test_moving_diph_2d_circle_pgmres_matches_direct():
+    """2D translating circle, general diphasic slab system: the default
+    row-equilibrated GMRES path must match the dense direct solve.
+
+    Regression test: non-cut cells used to leave the TG2 flux-jump row
+    identically zero (singular system — BiCGStab NaN'd while the dense
+    path hid it behind lstsq-style row fixing), and newborn sliver cells
+    (Va=0, Vb~1e-5 h²) made the slab matrix numerically singular until
+    slice_spacetime grew a per-slab small-cell clamp."""
+    from penguin_tpu.solvers.moving_diffusion import MovingDiffusionUnsteadyDiph
+
+    mesh = pt.Mesh((20, 20), (4.0, 4.0), (0.0, 0.0))
+    body_st = lambda x, y, t: -(jnp.sqrt((x - 2.0 - 0.2 * t) ** 2
+                                         + (y - 2.0) ** 2) - 1.0)
+    body_c_st = lambda x, y, t: -body_st(x, y, t)
+    cap1 = pt.compute_capacity(lambda x, y: body_st(x, y, 0.0), mesh)
+    cap2 = pt.compute_capacity(lambda x, y: body_c_st(x, y, 0.0), mesh)
+    ph1 = pt.Phase(cap1, pt.make_diffusion_ops(cap1),
+                   lambda x, y, z, t: 0.0, 1.0)
+    ph2 = pt.Phase(cap2, pt.make_diffusion_ops(cap2),
+                   lambda x, y, z, t: 0.0, 2.0)
+    bc_b = pt.BorderConditions({k: pt.Dirichlet(0.0)
+                                for k in ("left", "right", "top", "bottom")})
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 2.0, 0.0))
+    z = jnp.zeros(mesh.np_shape)
+    u0 = (jnp.ones(mesh.np_shape), z, jnp.zeros(mesh.np_shape), z)
+
+    a = MovingDiffusionUnsteadyDiph(ph1, ph2, bc_b, ic, 0.01, u0, mesh, "BE")
+    a.solve(body_st, body_c_st, 0.0, 0.02, method="direct", p=4, s=1)
+    b = MovingDiffusionUnsteadyDiph(ph1, ph2, bc_b, ic, 0.01, u0, mesh, "BE")
+    b.solve(body_st, body_c_st, 0.0, 0.02, p=4, s=1)
+
+    assert np.asarray(b.krylov_relres).max() < 1e-8
+    for i in (0, 2):
+        d = np.abs(np.asarray(a.x[i]) - np.asarray(b.x[i])).max()
+        assert d < 1e-6, (i, d)
