@@ -1,0 +1,90 @@
+"""Taylor-Couette flow between concentric cylinders (inner rotating) vs the
+analytic azimuthal profile — reference
+benchmark/navierstokes/couettecylinder.jl and
+couettecylinder_convergence.jl.  Writes couette_cylinder.csv.
+
+u_theta(r) = A r + B / r,  A = -Omega ri^2/(ro^2-ri^2), B = Omega ri^2 ro^2/(ro^2-ri^2)
+
+Run:  python benchmarks/couette_cylinder.py
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import csv
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.stokes import StokesMono, PinPressureGauge
+
+ri, ro, Om = 0.5, 1.5, 1.0
+A = -Om * ri**2 / (ro**2 - ri**2)
+B = Om * ri**2 * ro**2 / (ro**2 - ri**2)
+c = (2.0 + 0.008, 2.0 + 0.008)
+
+
+def solve(n):
+    L = 4.0
+    d = L / n
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    annulus = lambda x, y: jnp.maximum(
+        ri - jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2),
+        jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2) - ro,
+    )
+    caps = [pt.compute_capacity(annulus, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1.0, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    still = pt.Dirichlet(0.0)
+    bc = pt.BorderConditions({k: still
+                              for k in ("left", "right", "bottom", "top")})
+    # interface velocity: rigid rotation on the inner wall, rest on the
+    # outer — select by radius
+    def ug_x(x, y, z, t=None):
+        r = jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2)
+        return jnp.where(r < 0.5 * (ri + ro), -Om * (y - c[1]), 0.0)
+
+    def ug_y(x, y, z, t=None):
+        r = jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2)
+        return jnp.where(r < 0.5 * (ri + ro), Om * (x - c[0]), 0.0)
+
+    s = StokesMono(fluid, (bc, bc), PinPressureGauge(),
+                   (pt.Dirichlet(ug_x), pt.Dirichlet(ug_y)))
+    s.solve(method="lstsq")
+    ux = np.asarray(s.velocity(0))
+    Cy = np.asarray(caps[0].C_om)
+    # sample u_x along the vertical line through the center: u_theta(r) = -u_x
+    j = np.argmin(np.abs(np.asarray(mesh_ux.nodes[0]) + 0.5 * d - c[0]))
+    ys = Cy[j, :, 1]
+    r = np.abs(ys - c[1])
+    sel = (r > ri + 2 * d) & (r < ro - 2 * d)
+    u_th = np.where(ys > c[1], -ux[j, :], ux[j, :])
+    exact = A * r + B / np.maximum(r, 1e-12)
+    err = np.abs(u_th - exact)[sel]
+    return float(err.max()), float(np.abs(exact[sel]).max())
+
+
+rows = []
+for n in (32, 64):
+    e, scale = solve(n)
+    rows.append((n, e, e / scale))
+    print(f"n={n}: max|u_theta - exact| = {e:.4f} (rel {e/scale:.3f})")
+
+out = _os.path.join(_os.path.dirname(__file__), "couette_cylinder.csv")
+with open(out, "w", newline="") as f:
+    w = csv.writer(f)
+    w.writerow(["n", "max_err", "rel_err"])
+    w.writerows(rows)
+print(f"wrote {out}")
+assert rows[-1][2] < 0.08

@@ -35,4 +35,4 @@ print(f"field inside the translated disk: [{T[inside].min():.4f}, "
       f"{T[inside].max():.4f}] (heating toward the moving-wall value 1)")
 print(f"max Krylov relres: {np.asarray(solver.krylov_relres).max():.1e}")
 assert np.isfinite(T).all() and T[inside].max() <= 1.0 + 1e-6
-assert T[inside].mean() > 0.3  # the disk interior has heated up
+assert T[inside].max() > 0.9  # trailing region has reached the wall value

@@ -41,8 +41,8 @@ h0 = jnp.full(nx, hf0)
 solver.solve(h0, 0.0, t_end - t_start - dt / 2, ic,
              newton_params=(60, 1e-9, 1e-9, 1.0), p=4, s=1)
 
-h = np.asarray(solver.h)
-n_steps = len(solver.h_log)
+h = np.asarray(solver.heights)
+n_steps = len(solver.height_log)
 s_exact = stefan_interface_position(t_start + n_steps * dt, k, lam)
 print(f"front height: mean {h.mean():.4f} ± {h.std():.2e} "
       f"(planar => flat), analytic {s_exact:.4f}")

@@ -342,20 +342,38 @@ def _jacobi_precondition(diag):
 
 
 class KrylovSolver:
-    """Matrix-free Krylov wrapper over jax.scipy.sparse.linalg."""
+    """Matrix-free Krylov wrapper over jax.scipy.sparse.linalg, plus the
+    in-house ``pgmres`` (row-equilibrated restarted GMRES — the robust
+    choice for nonsymmetric/convective cut-cell systems).  For pgmres
+    pass ``template`` (any pytree shaped like b) so the row-norm
+    equilibrator is estimated once at construction, not per step."""
 
     def __init__(self, apply_fn, method="bicgstab", tol=1e-10, atol=0.0,
-                 maxiter=None, M=None):
+                 maxiter=None, M=None, template=None, restart=150):
         self.apply_fn = apply_fn
         self.method = method
         self.tol = tol
         self.atol = atol
         self.maxiter = maxiter
         self.M = M
+        self.restart = restart
+        self.Minv = (row_norm_equilibrator(apply_fn, template)
+                     if method == "pgmres" and template is not None else None)
 
     def solve(self, b, x0=None):
         from jax.scipy.sparse.linalg import bicgstab, cg, gmres
 
+        if self.method == "pgmres":
+            Minv = self.Minv
+            if Minv is None:
+                Minv = row_norm_equilibrator(self.apply_fn, b)
+            x, _, _ = pgmres(self.apply_fn, b,
+                             x0 if x0 is not None else
+                             jax.tree_util.tree_map(jnp.zeros_like, b),
+                             Minv=Minv, tol=self.tol,
+                             maxiter=self.maxiter or 2000,
+                             restart=self.restart)
+            return x
         kw = dict(tol=self.tol, atol=self.atol, maxiter=self.maxiter, M=self.M)
         if self.method == "cg":
             x, _ = cg(self.apply_fn, b, x0=x0, **kw)
@@ -375,7 +393,17 @@ def solve_linear(apply_fn, b, method="auto", x0=None, tol=1e-10, maxiter=None,
     flat_b, _ = ravel_pytree(b)
     n = flat_b.size
     if method == "auto":
-        method = "direct" if n <= 8000 else "bicgstab"
+        method = "direct" if n <= 8000 else "pgmres"
+    if method == "pgmres":
+        # row-equilibrated restarted GMRES: the robust matrix-free default
+        # for nonsymmetric cut-cell systems (plain bicgstab diverges on
+        # convection-dominated ones, e.g. the Graetz channel at Pe h ~ 1)
+        Minv = row_norm_equilibrator(apply_fn, b)
+        x, _, _ = pgmres(apply_fn, b, x0 if x0 is not None else
+                         jax.tree_util.tree_map(jnp.zeros_like, b),
+                         Minv=Minv, tol=tol, maxiter=maxiter or 2000,
+                         restart=150)
+        return x
     if method == "direct":
         A, unravel = materialize_dense(apply_fn, b)
         A, bb = _fix_inactive_dense(A, flat_b)

@@ -85,7 +85,7 @@ class AdvectionDiffusionUnsteadyMono(_ScalarSolverBase):
             step = lambda x, t: factor.solve(self._rhs(x, t))
         else:
             solver = KrylovSolver(self.apply, method=method, tol=tol,
-                                  maxiter=maxiter)
+                                  maxiter=maxiter, template=self.u0)
             step = lambda x, t: solver.solve(self._rhs(x, t), x0=x)
 
         @jax.jit
@@ -171,7 +171,7 @@ class AdvectionDiffusionUnsteadyDiph(_ScalarSolverBase):
             step = lambda x, t: factor.solve(self._rhs(x, t))
         else:
             solver = KrylovSolver(self.apply, method=method, tol=tol,
-                                  maxiter=maxiter)
+                                  maxiter=maxiter, template=self.u0)
             step = lambda x, t: solver.solve(self._rhs(x, t), x0=x)
 
         @jax.jit

@@ -152,7 +152,7 @@ class DiffusionUnsteadyMono(_ScalarSolverBase):
                 return factor.solve(b)
         else:
             solver = KrylovSolver(self.apply, method=method, tol=tol,
-                                  maxiter=maxiter)
+                                  maxiter=maxiter, template=self.u0)
 
             def step(x, t):
                 b = self._rhs(x, t)
@@ -254,7 +254,7 @@ class DiffusionUnsteadyDiph(_ScalarSolverBase):
                 return factor.solve(self._rhs(x, t))
         else:
             solver = KrylovSolver(self.apply, method=method, tol=tol,
-                                  maxiter=maxiter)
+                                  maxiter=maxiter, template=self.u0)
 
             def step(x, t):
                 return solver.solve(self._rhs(x, t), x0=x)

@@ -216,6 +216,8 @@ class StokesMono:
         self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
         self.gauge = pressure_gauge or PinPressureGauge()
         self.bc_cut = bc_cut or Dirichlet(0.0)
+        # bc_cut may be one condition for all velocity components or a
+        # per-component tuple (e.g. a rotating wall: uγ_x = -Ω y, uγ_y = Ω x)
         N = fluid.ndim
         self.N = N
         self.mu_diag = tuple(
@@ -265,7 +267,7 @@ class StokesMono:
         # [Iμ HᵀWꜝG, Iμ HᵀWꜝH, -Hp] rows, test/solver/traction_test.jl;
         # its own assembly helper is absent from src, so this implements
         # the documented row)
-        self.traction = isinstance(self.bc_cut, Traction)
+        self.traction = isinstance(self._cut(0), Traction)
         if self.traction:
             self.trac_active = tuple(
                 jnp.asarray(_col_H_nz(fluid.operator_u[d])) for d in range(N)
@@ -417,6 +419,10 @@ class StokesMono:
         yp = self._gauge_fix(yp, p)
         return tuple(out) + (yp,)
 
+    def _cut(self, d):
+        bc = self.bc_cut
+        return bc[d] if isinstance(bc, (tuple, list)) else bc
+
     def rhs_steady(self, t=None):
         N = self.N
         out = []
@@ -431,7 +437,7 @@ class StokesMono:
             bw = ops.V * f
             Cg = cap.C_ga
             gco = [Cg[..., i] for i in range(Cg.shape[-1])]
-            bg = eval_condition_value(self.bc_cut.value, gco, t)
+            bg = eval_condition_value(self._cut(d).value, gco, t)
             if self.traction:
                 bg = jnp.where(self.trac_active[d], bg, 0.0)
             bw = jnp.where(self.u_active[d], bw, 0.0)
@@ -491,7 +497,7 @@ class StokesMono:
                 bw = jnp.where(self.u_active[d], bw, 0.0)
                 Cg = cap.C_ga
                 gco = [Cg[..., i] for i in range(Cg.shape[-1])]
-                bg = eval_condition_value(self.bc_cut.value, gco, t_next)
+                bg = eval_condition_value(self._cut(d).value, gco, t_next)
                 if self.traction:
                     bg = jnp.where(self.trac_active[d], bg, 0.0)
                 bw, bg = self.borders[d].rhs(bw, bg, t_next)
@@ -511,24 +517,62 @@ class StokesMono:
             out += [z[d], z[d]]
         return tuple(out) + (jnp.zeros_like(self.fluid.capacity_p.V),)
 
-    def force_diagnostics(self, x=None):
-        """Reaction force on the immersed boundary from the momentum-residual
-        interface terms (compute_navierstokes_force_diagnostics,
-        navierstokes.jl:2977-3058): F_d = Σ Iμ Hᵀ Wꜝ (G uω_d + H uγ_d)."""
+    def force_diagnostics(self, x=None, parts=False):
+        """Reaction force on the immersed boundary: pressure + viscous
+        momentum-residual parts (compute_navierstokes_force_diagnostics,
+        navierstokes.jl:2977-3058):
+        F_d = Σ [ A_p ∂_d p + Iμ Gᵀ Wꜝ (G uω_d + H uγ_d) ].
+        ``parts=True`` returns ((Fp_d, Fv_d), ...) per component.
+
+        By the telescoping of Gᵀ/Dm the full-domain sum equals the
+        traction integral over ALL boundaries (body + outer borders) —
+        the reference uses it in Dirichlet far-field boxes where the
+        outer part is what balances the drag.  With Outflow/driven
+        borders use :meth:`interface_force` instead."""
         x = x if x is not None else self.x
         N = self.N
+        p = x[2 * N]
         out = []
         for d in range(N):
             ops = self.fluid.operator_u[d]
             q = ops.flux(x[2 * d], x[2 * d + 1])
-            out.append(float(jnp.sum(self.mu_diag[d] * ops.HT(q))))
+            visc = float(jnp.sum(self.mu_diag[d] * ops.GT(q)))
+            pres = float(jnp.sum(-self._grad(d, p)))
+            out.append((pres, visc) if parts else pres + visc)
         return tuple(out)
 
-    def drag_lift_coefficients(self, u_ref=1.0, l_ref=1.0, x=None):
-        """C_d, C_l = 2 F / (ρ u_ref² l_ref) (navierstokes.jl:3067-3082)."""
+    def interface_force(self, x=None, parts=False):
+        """Traction integral on the EMBEDDED boundary only: the H-column
+        (interface-aperture) parts of the viscous and pressure operators,
+        F_d = Σ [ Iμ Hᵀ Wꜝ (G uω_d + H uγ_d) + (Hᵖ_d p) ] with
+        Hᵖ_d p = A^p_d ∂_d p − ∂_d(B^p_d p).  Unlike the domain sum this
+        isolates the body force regardless of the outer border types
+        (verified: F ∝ μ to machine precision on the Stokes cylinder,
+        lift/drag ~ 0.5% by symmetry).  Sign: force ON the fluid; the
+        drag on the body is the negative."""
+        x = x if x is not None else self.x
+        N = self.N
+        p = x[2 * N]
+        opp = self.fluid.operator_p
+        out = []
+        for d in range(N):
+            ops = self.fluid.operator_u[d]
+            q = ops.flux(x[2 * d], x[2 * d + 1])
+            visc = float(jnp.sum(self.mu_diag[d] * ops.HT(q)))
+            Hp = (opp.A[d] * dm(p, d, opp._per(d))
+                  - dm(opp.B[d] * p, d, opp._per(d)))
+            pres = float(jnp.sum(Hp))
+            out.append((pres, visc) if parts else pres + visc)
+        return tuple(out)
+
+    def drag_lift_coefficients(self, u_ref=1.0, l_ref=1.0, x=None,
+                               interface_only=False):
+        """C_d, C_l = 2 |F| / (ρ u_ref² l_ref) (navierstokes.jl:3067-3082).
+        ``interface_only=True`` uses :meth:`interface_force` (body-only)."""
         rho = self.fluid.rho
         rho_val = 1.0 if callable(rho) else float(rho)
-        F = self.force_diagnostics(x)
+        F = (self.interface_force(x) if interface_only
+             else self.force_diagnostics(x))
         scale = 0.5 * rho_val * u_ref**2 * l_ref
         return tuple(f / scale for f in F)
 

@@ -241,7 +241,8 @@ def test_cylinder_drag_diagnostics():
 
     (Fx1, Fy1), _ = solve_drag(1.0)
     (Fx2, Fy2), _ = solve_drag(2.0)
-    # F is the traction integral on the FLUID; the drag on the body is -Fx
-    assert -Fx1 > 0, Fx1
+    # F = Σ (A_p ∂p + Iμ GᵀWꜝ(G+H)u): the momentum-residual integral =
+    # traction the fluid exerts on the body — positive along the stream
+    assert Fx1 > 0, Fx1
     assert abs(Fy1) < 0.05 * abs(Fx1)        # symmetric: no lift
     assert abs(Fx2 / Fx1 - 2.0) < 0.05, Fx2 / Fx1  # Stokes: F ~ mu
