@@ -53,14 +53,27 @@ def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
     iters = int(solver.iters_log.sum())
     print(f"[jac={jac}] grid {n}x{n}, {nm} markers, "
           f"{len(solver.iters_log)} steps, {iters} GN iterations")
-    print(f"total {wall:.2f}s (incl. compile)")
+    print(f"total {wall:.2f}s (incl. trace + compile)")
+    # steady-state timing: a long run amortizes the per-solve trace cost
+    # (solve() retraces its jitted scan per call; production runs are one
+    # long solve, so per-GN device time is the honest metric)
+    n_steps = 20
+    solver.solve(front, 0.0, (n_steps + 0.5) * dt,
+                 ic, newton_params=(8, 1e-4, 1e-6, 1.0),
+                 interior_fluid=False, method="auto", jac=jac, p=4, s=1)
+    # second identical call hits the solver's compiled-loop cache: pure
+    # device time (production = one long solve, so this is the honest
+    # steady-state metric)
     t0w = time.time()
-    solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
+    solver.solve(front, 0.0, (n_steps + 0.5) * dt,
+                 ic, newton_params=(8, 1e-4, 1e-6, 1.0),
                  interior_fluid=False, method="auto", jac=jac, p=4, s=1)
     wall = time.time() - t0w
     iters = int(solver.iters_log.sum())
-    print(f"cached: {wall:.2f}s for {iters} GN iterations -> "
-          f"{wall / max(iters, 1) * 1e3:.1f} ms/iteration")
+    klv = int(np.asarray(solver.krylov_iters).sum())
+    print(f"{n_steps}-step run (steady state): {wall:.2f}s wall, "
+          f"{iters} GN iterations -> {wall / max(iters, 1) * 1e3:.1f} ms/GN, "
+          f"{klv} total CG iters ({klv / max(iters, 1):.0f}/GN)")
 
 
 if __name__ == "__main__":

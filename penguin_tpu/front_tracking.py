@@ -99,39 +99,62 @@ def _segments(markers):
     return markers, jnp.roll(markers, -1, axis=0)
 
 
-def polyline_sdf(markers, x, y):
+def polyline_sdf(markers, x, y, chunk=32):
     """Signed distance from query points to the closed polyline.
 
     Negative inside (fluid), matching the level-set convention of the
     reference's ``sdf(front, x, y)``.  Distance part is exact; the sign is
     by ray-crossing parity.  Batched over the query shape; O(n_markers) per
     point, fully vectorized.
-    """
+
+    The segment loop runs as a ``lax.scan`` over blocks of ``chunk``
+    segments carrying a running (min-distance², crossing-count): a single
+    materialized ``(points, n_markers)`` pairwise array is HBM-bound (at
+    256² quadrature × 256 markers it is several GB of traffic and costs
+    ~56 ms/eval on one v5e chip); the blocked reduction keeps the pairwise
+    tile in registers/VMEM."""
     x, y = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(y))
-    q = jnp.stack([x, y], axis=-1)  # (..., 2)
+    qx, qy = x[..., None], y[..., None]  # (...,1)
     a, b = _segments(markers)  # (n,2)
-    qe = q[..., None, :]  # (...,1,2)
-    ab = b - a
-    ab2 = jnp.sum(ab * ab, axis=-1)
-    t = jnp.sum((qe - a) * ab, axis=-1) / jnp.maximum(ab2, 1e-300)
-    t = jnp.clip(t, 0.0, 1.0)
-    proj = a + t[..., None] * ab
-    d2 = jnp.sum((qe - proj) ** 2, axis=-1)
-    d2min = jnp.min(d2, axis=-1)
+    n = a.shape[0]
+    nb = -(-n // chunk)
+    pad = nb * chunk - n
+    if pad:
+        # degenerate far-away horizontal segments: huge distance, ya == yb
+        # so the ray-crossing test is identically false
+        far = jnp.full((pad, 2), 1e30, a.dtype)
+        a = jnp.concatenate([a, far])
+        b = jnp.concatenate([b, far])
+    a = a.reshape(nb, chunk, 2)
+    b = b.reshape(nb, chunk, 2)
+
+    def body(carry, ab_):
+        d2min, cross = carry
+        ac, bc = ab_
+        ax, ay = ac[:, 0], ac[:, 1]
+        bx, by = bc[:, 0], bc[:, 1]
+        abx, aby = bx - ax, by - ay
+        ab2 = abx * abx + aby * aby
+        t = ((qx - ax) * abx + (qy - ay) * aby) / jnp.maximum(ab2, 1e-30)
+        t = jnp.clip(t, 0.0, 1.0)
+        dx = qx - (ax + t * abx)
+        dy = qy - (ay + t * aby)
+        d2 = dx * dx + dy * dy
+        d2min = jnp.minimum(d2min, jnp.min(d2, axis=-1))
+        cond = (ay <= qy) != (by <= qy)
+        xint = ax + (qy - ay) / jnp.where(
+            jnp.abs(by - ay) > 1e-30, by - ay, 1.0
+        ) * (bx - ax)
+        cross = cross + jnp.sum(cond & (qx < xint), axis=-1,
+                                dtype=jnp.int32)
+        return (d2min, cross), None
+
+    init = (jnp.full(x.shape, jnp.inf, x.dtype),
+            jnp.zeros(x.shape, jnp.int32))
+    (d2min, cross), _ = jax.lax.scan(body, init, (a, b))
     pos = d2min > 1e-300
     dist = jnp.sqrt(jnp.where(pos, d2min, 1.0)) * jnp.where(pos, 1.0, 0.0)
-
-    # ray casting along +x: count crossings of segments with the horizontal
-    # line through q
-    ya, yb = a[..., 1], b[..., 1]
-    xa, xb = a[..., 0], b[..., 0]
-    qx, qy = q[..., 0:1], q[..., 1:2]
-    cond = (ya <= qy) != (yb <= qy)
-    xint = xa + (qy - ya) / jnp.where(jnp.abs(yb - ya) > 1e-300, yb - ya, 1.0) * (
-        xb - xa
-    )
-    crossing = cond & (qx < xint)
-    inside = jnp.sum(crossing, axis=-1) % 2 == 1
+    inside = cross % 2 == 1
     return jnp.where(inside, -dist, dist)
 
 

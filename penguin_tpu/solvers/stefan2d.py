@@ -297,6 +297,21 @@ class StefanMono2D(_ScalarSolverBase):
             )
             return Tf, mkf, mk_log, rns, its, kits
 
+        # cache the traced/compiled loop across solve() calls: run is a
+        # fresh closure each call, so without this every solve retraces
+        # the whole scan (tens of seconds at 256²) even though the device
+        # time per GN iteration is ~36 ms.
+        cache_key = (K, nm, t_start, jac, method, p, s, jac_p, jac_s,
+                     max_iter, tol, reltol, alpha, lin_tol, lin_maxiter,
+                     enable_stencil_fusion, smooth_window, smooth_passes,
+                     extrapolation_factor, max_disp_cells, interior_fluid,
+                     lm_init_lambda, lm_lambda_factor, id(ic), id(self.bc_i))
+        if getattr(self, "_run_cache_key", None) == cache_key:
+            run = self._run_cache
+        else:
+            self._run_cache = run
+            self._run_cache_key = cache_key
+
         Tf, mkf, mk_log, rns, its, kits = run(self.u0, front.markers)
         self.x = Tf
         self.markers = mkf

@@ -15,19 +15,25 @@ from penguin_tpu.solvers.stefan2d import StefanDiph2D
 @pytest.mark.slow
 @pytest.mark.parametrize("jac", ["autodiff", "intercept"])
 def test_frank_disk_diphasic(jac):
+    # Resolution per Jacobian: the flux-frozen GN is marginally stable for
+    # the diphasic system at 32²/32 markers — with the autodiff volume
+    # Jacobian the trajectory there is chaotic-sensitive (1e-15 input
+    # perturbations flip convergence), while 48²/48 tracks the Frank
+    # solution to 0.2%.  The intercept Jacobian is robust at 32².
+    res = 48 if jac == "autodiff" else 32
     S = 1.0
     St = (S**2 / 4) * np.exp(S**2 / 4) * exp1(S**2 / 4)
     T_inf = -St
     rhoL = 1.0
 
     L, center = 8.0, (4.0, 4.0)
-    nx = ny = 32
+    nx = ny = res
     mesh = pt.Mesh((nx, ny), (L, L), (0.0, 0.0))
     t0 = 1.0
     dt = 0.02
     R0 = S * np.sqrt(t0)
 
-    front = FrontTracker().create_circle(center, R0, n=32)
+    front = FrontTracker().create_circle(center, R0, n=res)
     # phase 1 = solid disk (interior, at Tm = 0); phase 2 = undercooled liquid
     body1 = lambda x, y: front.sdf(x, y)
     body2 = lambda x, y: -front.sdf(x, y)
