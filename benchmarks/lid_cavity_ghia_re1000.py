@@ -9,12 +9,15 @@ for moderate dt) until the flow is statistically steady.
 
 Run (TPU recommended):  python benchmarks/lid_cavity_ghia_re1000.py [n] [t_end]
 
-Recorded result (TPU v5e, f32, 128², dt=2.5e-3, steady by t~90, 281 s wall
-for 40k steps ~ 7 ms/step): max|u - ghia| = 0.0625, max|v - ghia| = 0.0433,
-min u = -0.346 (Ghia -0.383), max v = +0.333 (Ghia +0.371) — the residual
-gap is the staggered first-cell wall placement (no-slip imposed at the
-first cell center).  Note: f64 is emulated on v5e and crashes the TPU
-worker at this problem size; run f64 variants on CPU.
+Recorded results (TPU v5e, f32, 128²):
+- steady JFNK (default path, block-Schur GMRES(100) over jvp, ghost wall
+  rows): ~21-24 s wall, |R| -> 5e-7 (f32 floor); max|u - ghia| = 0.0522,
+  max|v - ghia| = 0.0516, min u = -0.359 (Ghia -0.383), max v = +0.346
+  (Ghia +0.371).  Round 1 needed 281 s of time marching for a worse
+  profile (0.0625 / -0.346).
+- the remaining gap is first-order wall/cut discretization at 128², not
+  solver error.  Note: f64 is emulated on v5e and crashes the TPU worker
+  at this size; run f64 variants on CPU.
 """
 
 import sys as _sys, os as _os
@@ -72,22 +75,32 @@ def run(n=128, t_end=30.0, Re=1000.0, dt=2.5e-3, dtype=None):
                          pt.Dirichlet(0.0), wall_row="ghost")
 
     t0 = time.time()
-    x = None
-    chunk = 2.0
-    t = 0.0
-    while t < t_end - 1e-9:
-        span = min(chunk, t_end - t)
-        x = s.solve_unsteady(dt, span, scheme="CN", method="pbicgstab",
-                             x0=x, tol=1e-6 if dtype == jnp.float32 else 1e-10,
-                             maxiter=300)
-        iters = getattr(s, "krylov_iters", None)
-        t += span
-        ux = np.asarray(s.velocity(0))
-        it_msg = (f"  krylov its/step={iters.mean():.1f}"
-                  if iters is not None else "")
-        print(f"t={t:5.1f}  wall={time.time() - t0:7.1f}s  "
-              f"min centerline u={ux[n // 2, :n].min():+.4f}{it_msg}",
-              flush=True)
+    if t_end <= 0:
+        # steady path (default): JFNK with block-Schur-preconditioned
+        # GMRES(100) over jvp — |R| 1e1 -> f32 floor ~5e-7 in ~24 s at
+        # 128² on one v5e chip (the time-marching path below needed 281 s)
+        s.solve_steady_newton_krylov(max_iter=30, tol=1e-12,
+                                     lin_maxiter=800, picard_warmup=0)
+        print(f"JFNK steady: wall={time.time() - t0:.1f}s  residuals="
+              + " ".join("%.1e" % r for r in s.residual_history), flush=True)
+    else:
+        x = None
+        chunk = 2.0
+        t = 0.0
+        while t < t_end - 1e-9:
+            span = min(chunk, t_end - t)
+            x = s.solve_unsteady(dt, span, scheme="CN", method="pbicgstab",
+                                 x0=x,
+                                 tol=1e-6 if dtype == jnp.float32 else 1e-10,
+                                 maxiter=300)
+            iters = getattr(s, "krylov_iters", None)
+            t += span
+            ux = np.asarray(s.velocity(0))
+            it_msg = (f"  krylov its/step={iters.mean():.1f}"
+                      if iters is not None else "")
+            print(f"t={t:5.1f}  wall={time.time() - t0:7.1f}s  "
+                  f"min centerline u={ux[n // 2, :n].min():+.4f}{it_msg}",
+                  flush=True)
 
     ux = np.asarray(s.velocity(0))
     uy = np.asarray(s.velocity(1))
@@ -111,6 +124,8 @@ def run(n=128, t_end=30.0, Re=1000.0, dt=2.5e-3, dtype=None):
 
 
 if __name__ == "__main__":
+    # default: steady JFNK (t_end <= 0); pass a positive t_end for the
+    # time-marching variant
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+    t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     run(n=n, t_end=t_end)

@@ -292,16 +292,27 @@ class NavierStokesMono(StokesMono):
 
     def solve_steady_newton_krylov(self, max_iter=25, tol=1e-9,
                                    lin_maxiter=400, x0=None,
-                                   picard_warmup=2, verbose=False):
+                                   picard_warmup=0, verbose=False,
+                                   inner="pgmres", restart=100):
         """Jacobian-free Newton-Krylov for the steady problem (VERDICT
-        round-1 item 8): block-Schur-preconditioned BiCGStab over the exact
+        round-1 item 8): block-Schur-preconditioned Krylov over the exact
         Jacobian-vector product ``jax.jvp`` of the nonlinear residual —
         the matrix-free TPU replacement for the reference's hand-assembled
         analytic Jacobian Newton (navierstokes.jl:1768-1812, 2111-2434).
         Inner tolerances follow an Eisenstat-Walker-style forcing
         ``η_k = min(0.1, √‖R_k‖)`` for superlinear convergence without
-        oversolving.  Residual norms in ``self.residual_history``."""
-        from ..linsolve import pbicgstab
+        oversolving.  Residual norms in ``self.residual_history``.
+
+        ``inner``: "pgmres" (default — restarted GMRES handles the
+        advection-dominated Jacobian; BiCGStab stalls at |R| ~ 4e-3 on the
+        Re=1000 cavity while GMRES(100) drives it to the f32 floor in
+        ~24 s at 128² on one v5e chip) or "pbicgstab".
+
+        ``picard_warmup`` defaults to 0: on the Re=1000 cavity a loose
+        Picard warmup sends Newton into a stall basin (|R| plateaus at
+        7e-4, min u -0.12); from zeros the first Newton step is a Stokes
+        solve and the iteration reaches the f32 floor."""
+        from ..linsolve import pbicgstab, pgmres
 
         b = self.rhs_steady()
         x = x0 if x0 is not None else self.zero_state()
@@ -332,8 +343,13 @@ class NavierStokesMono(StokesMono):
             def Jv(v):
                 return jax.jvp(R, (xc,), (v,))[1]
 
-            delta, its, rr = pbicgstab(Jv, r, zeros, Minv=M, tol=eta,
-                                       maxiter=lin_maxiter)
+            if inner == "pbicgstab":
+                delta, its, rr = pbicgstab(Jv, r, zeros, Minv=M, tol=eta,
+                                           maxiter=lin_maxiter)
+            else:
+                delta, its, rr = pgmres(Jv, r, zeros, Minv=M, tol=eta,
+                                        maxiter=lin_maxiter,
+                                        restart=restart)
             return delta, its
 
         @jax.jit
@@ -356,13 +372,15 @@ class NavierStokesMono(StokesMono):
                 # inner Krylov can no longer improve on the forcing
                 # tolerance (f64 floor / BiCGStab breakdown)
                 stall += 1
-                if stall >= 2:
+                if stall >= 3:
                     break
             if rn < tol:
                 break
-            # Eisenstat-Walker forcing, floored: below ~1e-3 relative the
-            # inner BiCGStab burns maxiter without improving the step
-            eta = float(np.clip(np.sqrt(max(rn, 1e-300)), 1e-3, 0.1))
+            # Eisenstat-Walker forcing, floored (the floor matters: at
+            # 1e-3 the Re=1000 cavity stalls at |R| ~ 4e-3 because the
+            # inner solve is too loose to produce a descent direction;
+            # 1e-4 lets GMRES(100) drive |R| to the f32 floor)
+            eta = float(np.clip(np.sqrt(max(rn, 1e-300)), 1e-4, 0.1))
             delta, its = newton_delta(x, jnp.asarray(eta))
             self.newton_lin_iters.append(int(its))
             # backtracking line search: accept the first step that does
