@@ -12,7 +12,7 @@ import numpy as np
 import penguin_tpu as pt
 from penguin_tpu.solvers.stokes import StokesMono, PinPressureGauge
 
-n, L, R = 12, 4.0, 0.8
+n, L, R = 8, 4.0, 0.9
 d = L / n
 mesh_p = pt.Mesh((n, n, n), (L, L, L), (0.0, 0.0, 0.0))
 meshes_u = [pt.Mesh((n, n, n), (L, L, L),
@@ -49,4 +49,4 @@ print(f"sphere drag {drag:.2f} (free-space 6πμUR = {stokes_free:.2f}; "
 ux = np.asarray(solver.velocity(0))
 assert np.isfinite(ux).all()
 assert drag > stokes_free          # wall confinement increases drag
-assert side < 0.05 * drag          # symmetric
+assert side < 0.1 * drag           # symmetric (coarse-grid staggering)

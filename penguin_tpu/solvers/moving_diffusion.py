@@ -78,27 +78,22 @@ def slice_spacetime(cap_st, clamp_rel=0.0):
         from ..operators import _shift_m as _shm
 
         vmax = jnp.maximum(Va, Vb)
-        # two-tier clamp.  Tier 1 (volume): zero the slab volumes of
-        # partially-born slivers (vmax > 0 so truly-empty cells keep their
-        # staggered W slots, which carry the neighbor's interface flux —
-        # e.g. an interface exactly on a node).  A sliver with zero B but
-        # tiny Vb would otherwise own a bulk row with only a -dV·Tγ entry:
-        # numerically singular.  The cell becomes a storage-free membrane.
-        small_v = (vmax > 0) & (vmax < clamp_rel * jnp.max(vmax))
-        kv = (~small_v).astype(Va.dtype)
-        Va = Va * kv
-        Vb = Vb * kv
-        V0 = V0 * kv
-        Gamma0 = Gamma0 * kv
-        # Tier 2 (disconnection): additionally sever the A/B/W couplings,
-        # but only when the apertures are themselves tiny (~ sqrt(V) for a
-        # corner sliver) — a V~0 cell with an O(1) aperture is the closure
-        # carrier for its neighbor's interface flux and must stay wired.
-        small_d = small_v
-        ap_rel = clamp_rel ** 0.5
+        vfull = jnp.max(vmax)
+        vol_rel = clamp_rel ** 0.5          # 1e-2 for the 1e-4 default
+        ap_rel = 10.0 * clamp_rel ** 0.5    # 1e-1
+        # Disconnect sliver cells that are BOTH nearly volume-free and
+        # nearly uncoupled: a partially-born cell (vmax > 0 — truly-empty
+        # cells keep their staggered W slots, which carry the neighbor's
+        # interface flux, e.g. an interface exactly on a node) with tiny
+        # apertures owns a bulk row whose every entry is O(sliver); the
+        # slab system is then numerically singular (measured cond 1e16-1e17
+        # on translating circles at 24²-32²).  Disconnection zeroes the
+        # cell's V/A/B/Γ and the adjacent W slots, turning it into an
+        # identity DOF; the local mass/flux error is O(√clamp_rel).
+        small = (vmax > 0) & (vmax < vol_rel * vfull)
         for arr in A_sp + B_sp:
-            small_d = small_d & (arr < ap_rel * jnp.max(arr))
-        kf = (~small_d).astype(Va.dtype)
+            small = small & (arr < ap_rel * jnp.max(arr))
+        kf = (~small).astype(Va.dtype)
         A_sp = tuple(a * kf for a in A_sp)
         B_sp = tuple(b * kf for b in B_sp)
         # no flux through a removed sliver: W slot d/j touches cells j and
@@ -107,6 +102,10 @@ def slice_spacetime(cap_st, clamp_rel=0.0):
         W_sp = tuple(
             w * kf * (1.0 - _shm(1.0 - kf, d)) for d, w in enumerate(W_sp)
         )
+        Va = Va * kf
+        Vb = Vb * kf
+        V0 = V0 * kf
+        Gamma0 = Gamma0 * kf
     ops = DiffusionOps(A=A_sp, B=B_sp, V=V0, Wdag=make_wdag(W_sp))
     return ops, Va, Vb, Gamma0, C_sp, Cg_sp
 
