@@ -1,0 +1,100 @@
+"""Unit tests for the pytree Krylov layer (pcg / pbicgstab / pgmres /
+row_norm_equilibrator) — the moving-solver and JFNK workhorses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from penguin_tpu.linsolve import (
+    pcg,
+    pbicgstab,
+    pgmres,
+    row_norm_equilibrator,
+)
+
+
+def _spd(n, key):
+    A = jax.random.normal(key, (n, n))
+    return A @ A.T + n * jnp.eye(n)
+
+
+def test_pcg_spd_converges():
+    n = 120
+    A = _spd(n, jax.random.PRNGKey(0))
+    xt = jax.random.normal(jax.random.PRNGKey(1), (n,))
+    b = A @ xt
+    x, it, res = pcg(lambda v: A @ v, b, jnp.zeros(n),
+                     Minv=1.0 / jnp.diagonal(A), tol=1e-12, maxiter=500)
+    assert float(res) < 1e-10
+    assert np.abs(np.asarray(x - xt)).max() < 1e-7
+
+
+def test_pbicgstab_nonsymmetric():
+    n = 120
+    A = (3.0 * jnp.eye(n)
+         + 0.5 * jax.random.normal(jax.random.PRNGKey(2), (n, n)) / np.sqrt(n))
+    xt = jax.random.normal(jax.random.PRNGKey(3), (n,))
+    b = A @ xt
+    x, it, res = pbicgstab(lambda v: A @ v, b, jnp.zeros(n),
+                           tol=1e-12, maxiter=500)
+    assert float(res) < 1e-10
+    assert np.abs(np.asarray(x - xt)).max() < 1e-7
+
+
+def test_pbicgstab_rho_breakdown_restart():
+    """A system engineered so (rhat, r) hits ~0 mid-iteration: without the
+    restart the 1/rho guard amplifies garbage; with it the solve finishes."""
+    n = 60
+    # skew-dominated matrix: BiCGStab's shadow residual decorrelates fast
+    S = jax.random.normal(jax.random.PRNGKey(4), (n, n)) / np.sqrt(n)
+    A = jnp.eye(n) + 2.0 * (S - S.T)
+    xt = jax.random.normal(jax.random.PRNGKey(5), (n,))
+    b = A @ xt
+    x, it, res = pbicgstab(lambda v: A @ v, b, jnp.zeros(n),
+                           tol=1e-10, maxiter=2000)
+    assert np.isfinite(np.asarray(x)).all()
+    assert float(res) < 1e-8
+
+
+def test_pgmres_pytree_and_restart():
+    n = 160
+    A = (3.0 * jnp.eye(n)
+         + 0.5 * jax.random.normal(jax.random.PRNGKey(6), (n, n)) / np.sqrt(n))
+    xt = jax.random.normal(jax.random.PRNGKey(7), (n,))
+    b = A @ xt
+
+    def ap(x):
+        v = jnp.concatenate([x[0], x[1]["z"]])
+        y = A @ v
+        return (y[: n // 2], {"z": y[n // 2:]})
+
+    bt = (b[: n // 2], {"z": b[n // 2:]})
+    x0 = (jnp.zeros(n // 2), {"z": jnp.zeros(n // 2)})
+    x, it, res = pgmres(ap, bt, x0, tol=1e-12, maxiter=600, restart=25)
+    got = np.concatenate([np.asarray(x[0]), np.asarray(x[1]["z"])])
+    assert float(res) < 1e-10
+    assert np.abs(got - np.asarray(xt)).max() < 1e-7
+    assert int(it) % 25 == 0  # telemetry counts whole cycles
+
+
+def test_row_equilibrated_pgmres_beats_raw_scaling():
+    """Badly row-scaled system (1e-6..1 rows): the Rademacher row-norm
+    estimate must recover the row scales well enough that left-equilibrated
+    GMRES converges where the raw operator's restarted GMRES stalls."""
+    n = 150
+    A = (3.0 * jnp.eye(n)
+         + 0.5 * jax.random.normal(jax.random.PRNGKey(8), (n, n)) / np.sqrt(n))
+    D = 10.0 ** (-6 * jax.random.uniform(jax.random.PRNGKey(9), (n,)))
+    As = D[:, None] * A
+    xt = jax.random.normal(jax.random.PRNGKey(10), (n,))
+    b = As @ xt
+
+    Minv = row_norm_equilibrator(lambda v: As @ v, b)
+    # estimate within ~3x of the true row norms (8 probes)
+    true_rn = jnp.sqrt(jnp.sum(As * As, axis=1))
+    ratio = np.asarray(Minv * true_rn)
+    assert ratio.min() > 0.3 and ratio.max() < 3.0
+
+    x, it, res = pgmres(lambda v: As @ v, b, jnp.zeros(n), Minv=Minv,
+                        tol=1e-12, maxiter=600, restart=30)
+    assert np.abs(np.asarray(x - xt)).max() < 1e-6
