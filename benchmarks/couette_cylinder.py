@@ -75,8 +75,11 @@ def solve(n):
     return float(err.max()), float(np.abs(exact[sel]).max())
 
 
+import sys
+
+sizes = (32, 64) if len(sys.argv) > 1 and sys.argv[1] == "--full" else (32,)
 rows = []
-for n in (32, 64):
+for n in sizes:
     e, scale = solve(n)
     rows.append((n, e, e / scale))
     print(f"n={n}: max|u_theta - exact| = {e:.4f} (rel {e/scale:.3f})")
