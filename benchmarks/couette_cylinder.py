@@ -61,7 +61,9 @@ def solve(n):
 
     s = StokesMono(fluid, (bc, bc), PinPressureGauge(),
                    (pt.Dirichlet(ug_x), pt.Dirichlet(ug_y)))
-    s.solve(method="lstsq")
+    # auto -> block-Schur GMRES above the dense cutoff (the n=64 annulus
+    # took minutes via dense lstsq; the preconditioned solve is seconds)
+    s.solve(tol=1e-8)
     ux = np.asarray(s.velocity(0))
     Cy = np.asarray(caps[0].C_om)
     # sample u_x along the vertical line through the center: u_theta(r) = -u_x
@@ -77,12 +79,15 @@ def solve(n):
 
 import sys
 
-sizes = (32, 64) if len(sys.argv) > 1 and sys.argv[1] == "--full" else (32,)
+sizes = (32,) if len(sys.argv) > 1 and sys.argv[1] == "--quick" else (32, 64)
 rows = []
 for n in sizes:
+    import time as _time
+    t0 = _time.time()
     e, scale = solve(n)
+    print(f"n={n}: max|u_theta - exact| = {e:.4f} (rel {e/scale:.3f}) "
+          f"[{_time.time()-t0:.1f} s]")
     rows.append((n, e, e / scale))
-    print(f"n={n}: max|u_theta - exact| = {e:.4f} (rel {e/scale:.3f})")
 
 out = _os.path.join(_os.path.dirname(__file__), "couette_cylinder.csv")
 with open(out, "w", newline="") as f:

@@ -1,0 +1,137 @@
+"""DFG 2D vortex-shedding benchmark (Schaefer-Turek geometry, Re=100).
+
+Channel 2.2 x 0.41 with a cylinder of radius 0.05 at (0.2, 0.2) (slightly
+off-center, which seeds the shedding instability); parabolic inflow with
+peak 1.5 -> mean velocity 1.0, nu = 1e-3 -> Re = 100.  CN/AB2 unsteady NS
+to periodic shedding; drag/lift coefficients, Strouhal number and the
+front-to-back pressure difference are sampled IN-SCAN every step and gated
+against the published benchmark ranges.
+
+Mirrors /root/reference/benchmark/navierstokes/flow_around_circle_cd_cl.jl
+(same geometry/discretisation family; the reference post-processes a full
+state history on the host, here scalars are recorded inside the jitted
+scan).  Published ranges (Schaefer & Turek 1996, 2D-2): Cd in [3.22, 3.24],
+Cl_max in [0.99, 1.01], St in [0.295, 0.305]; the gate below uses the
+reference script's own coarser windows plus a grid-resolution allowance.
+
+Run:  python benchmarks/dfg_cylinder_shedding.py           (256 x 128)
+      python benchmarks/dfg_cylinder_shedding.py --coarse  (128 x 64)
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.navierstokes import NavierStokesMono
+from penguin_tpu.solvers.stokes import PinPressureGauge
+
+coarse = "--coarse" in _sys.argv
+nx, ny = (128, 64) if coarse else (256, 128)
+Lx, Ly = 2.2, 0.41
+R, cx, cy = 0.05, 0.2, 0.2
+D = 2 * R
+Umax, Ubar = 1.5, 1.0
+rho, nu = 1.0, 1e-3
+dt, T_end, t_stats = 0.002, 8.0, 4.0
+
+dx = Lx / nx
+mesh_p = pt.Mesh((nx, ny), (Lx, Ly), (0.0, 0.0))
+mesh_ux = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, 0.0))
+mesh_uy = pt.Mesh((nx, ny), (Lx, Ly), (0.0, -0.5 * (Ly / ny)))
+body = pt.geometry.complement(pt.geometry.circle((cx, cy), R))  # fluid outside
+caps = [pt.compute_capacity(body, m, p=4, s=1, dtype=jnp.float32)
+        for m in (mesh_ux, mesh_uy, mesh_p)]
+fluid = pt.Fluid(
+    mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+    capacity_u=(caps[0], caps[1]),
+    operator_u=(pt.make_diffusion_ops(caps[0]), pt.make_diffusion_ops(caps[1])),
+    capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+    mu=rho * nu, rho=rho,
+    f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+)
+
+
+def inflow(x, y, z=0.0, t=None):
+    xi = y / Ly
+    return Umax * 4.0 * xi * (1.0 - xi)
+
+
+noslip = pt.Dirichlet(0.0)
+bc_ux = pt.BorderConditions({"left": pt.Dirichlet(inflow),
+                             "right": pt.Outflow(),
+                             "bottom": noslip, "top": noslip})
+bc_uy = pt.BorderConditions({"left": noslip, "right": noslip,
+                             "bottom": noslip, "top": noslip})
+solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                          pt.Dirichlet(0.0))
+
+# pressure probes: nearest pressure-cell centroids to the DFG points
+# A = (0.15, 0.2) (front) and B = (0.25, 0.2) (back)
+pc = np.asarray(caps[2].C_om)
+act = np.asarray(solver.p_active)
+
+
+def probe_idx(pt_xy):
+    d2 = (pc[..., 0] - pt_xy[0]) ** 2 + (pc[..., 1] - pt_xy[1]) ** 2
+    d2 = np.where(act, d2, np.inf)
+    return np.unravel_index(np.argmin(d2), d2.shape)
+
+
+iA, iB = probe_idx((0.15, 0.2)), probe_idx((0.25, 0.2))
+
+
+def record(x):
+    fx, fy = solver.interface_force_traced(x)
+    p = x[2 * solver.N]
+    return (-fx, -fy, p[iA] - p[iB])  # force ON the body, front-back dp
+
+
+t0 = time.time()
+# pgmres: BiCGStab overflows on this cut-cell saddle point in f32
+solver.solve_unsteady(dt, T_end, scheme="CN", method="pgmres",
+                      tol=1e-6, maxiter=240, record=record)
+wall = time.time() - t0
+n_steps = int(round(T_end / dt))
+Fx, Fy, dP = solver.record_log
+times = (np.arange(n_steps) + 1) * dt
+kit = np.asarray(solver.krylov_iters)
+rel = np.asarray(solver.krylov_relres)
+print(f"{nx}x{ny}, {n_steps} steps: {wall:.1f} s wall "
+      f"({wall / n_steps * 1e3:.1f} ms/step incl compile), "
+      f"BiCGStab {kit.mean():.1f} it/step (max {kit.max()}), "
+      f"relres max {rel.max():.1e}")
+
+scale = 0.5 * rho * Ubar**2 * D
+Cd = Fx / scale
+Cl = Fy / scale
+w = times >= t_stats
+Cd_mean = float(np.mean(Cd[w]))
+Cl_mean = float(np.mean(Cl[w]))
+Cl_amp = float(np.max(Cl[w]) - np.min(Cl[w])) / 2
+dP_mean = float(np.mean(dP[w]))
+
+sig = Cl[w] - np.mean(Cl[w])
+spec = np.abs(np.fft.rfft(sig))
+freqs = np.fft.rfftfreq(sig.size, d=dt)
+f_shed = float(freqs[1:][np.argmax(spec[1:])])
+St = f_shed * D / Ubar
+
+print(f"Cd_mean = {Cd_mean:.4f}   (DFG 2D-2: 3.22-3.24; gate 3.0-3.7)")
+print(f"Cl_mean = {Cl_mean:+.4f}  (gate |.| < 0.1)")
+print(f"Cl_amp  = {Cl_amp:.4f}   (DFG: ~1.0)")
+print(f"St      = {St:.4f}     (DFG: 0.295-0.305; gate 0.28-0.33)")
+print(f"dP_mean = {dP_mean:.4f}  (DFG: ~2.48)")
+
+shedding = Cl_amp > 0.05
+print(f"shedding developed: {shedding}")
+if not coarse:
+    assert 3.0 < Cd_mean < 3.7, Cd_mean
+    assert abs(Cl_mean) < 0.1, Cl_mean
+    assert shedding
+    assert 0.28 < St < 0.33, St
+print("OK")

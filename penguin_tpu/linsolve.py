@@ -66,7 +66,15 @@ def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
     ``r -> M⁻¹r`` (None = identity).
     Returns ``(x, iters, relres)`` with ``relres = ||r||/||b||`` — the
     telemetry the reference keeps in ``Solver.ch``.
-    """
+
+    NOTE deliberately NO best-iterate tracking or stagnation patience:
+    any data-dependent selection (argmin over iterates, adaptive early
+    exit) makes the returned x a *discontinuous* function of (A, b),
+    which destabilizes outer Newton/Gauss-Newton loops that difference
+    solutions across nearby systems (measured on the 512² Stefan GN:
+    best-iterate return turned 1.7 GN/step convergence into an 8/step
+    stall).  The only adaptivity is the tolerance test, whose jump size
+    ~tol·‖b‖ stays below outer-loop noise floors."""
     prec = _make_prec(Minv)
     bb = jnp.maximum(_tdot(b, b), 1e-300)
     tol2 = tol * tol
@@ -77,6 +85,10 @@ def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
 
     def cond(st):
         x, r, p, rz, rr, k = st
+        # NOTE no isfinite() bailout either: a transient f32 overflow
+        # (rr = Inf, observed on the 512² Stefan slab CG around it ~26)
+        # keeps iterating via `Inf > tol` and recovers; aborting on it
+        # returns a garbage iterate and stalls the outer GN
         return (rr > tol2 * bb) & (k < maxiter)
 
     def body(st):
@@ -100,7 +112,8 @@ def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
 def pbicgstab(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
     """Preconditioned BiCGStab on pytrees (right preconditioning).
     ``Minv``: inverse-diagonal pytree or callable ``r -> M⁻¹r``.
-    Returns ``(x, iters, relres)``."""
+    Returns ``(x, iters, relres)``.  No best-iterate/patience adaptivity —
+    see the ``pcg`` note (outer-loop smoothness)."""
     prec = _make_prec(Minv)
     bb = jnp.maximum(_tdot(b, b), 1e-300)
     tol2 = tol * tol
@@ -397,12 +410,15 @@ def solve_linear(apply_fn, b, method="auto", x0=None, tol=1e-10, maxiter=None,
     if method == "pgmres":
         # row-equilibrated restarted GMRES: the robust matrix-free default
         # for nonsymmetric cut-cell systems (plain bicgstab diverges on
-        # convection-dominated ones, e.g. the Graetz channel at Pe h ~ 1)
+        # convection-dominated ones, e.g. the Graetz channel at Pe h ~ 1).
+        # The restart length is sized to a ~1.2 GB Krylov-basis budget so
+        # large 3D systems (n ~ 1e7) don't materialize a 12 GB basis.
         Minv = row_norm_equilibrator(apply_fn, b)
+        restart = int(min(150, max(20, 1.5e8 // max(n, 1))))
         x, _, _ = pgmres(apply_fn, b, x0 if x0 is not None else
                          jax.tree_util.tree_map(jnp.zeros_like, b),
                          Minv=Minv, tol=tol, maxiter=maxiter or 2000,
-                         restart=150)
+                         restart=restart)
         return x
     if method == "direct":
         A, unravel = materialize_dense(apply_fn, b)

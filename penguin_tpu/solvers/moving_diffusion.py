@@ -280,7 +280,8 @@ def build_moving_mono_system(cap_st, D, f, bc_i, border, t, dt, scheme,
 
 
 def solve_moving_mono_step_reduced(cap_st, D, f, bc_i, border, x_prev, t, dt,
-                                   tol=1e-9, maxiter=500, g_override=None):
+                                   tol=1e-9, maxiter=500, g_override=None,
+                                   x0=None):
     """BE slab solve with the interface unknown eliminated analytically.
 
     For a Dirichlet-type interface closure (``ib == 0``: Dirichlet or
@@ -312,7 +313,11 @@ def solve_moving_mono_step_reduced(cap_st, D, f, bc_i, border, x_prev, t, dt,
 
     gg = g_override if g_override is not None else _eval_g(bc_i, Cg_sp,
                                                            Gamma0, t)
-    Tg = jnp.where(ifc_act, gg * jnp.ones_like(Va), 0.0)
+    # the gamma row is ia*Gamma*T_g = Gamma*g, so T_g = g/ia (ia != 1 for
+    # Robin(alpha, beta=0) closures)
+    if not np.isscalar(ia):
+        raise ValueError("reduced slab solve requires a scalar ia")
+    Tg = jnp.where(ifc_act, (gg / ia) * jnp.ones_like(Va), 0.0)
 
     def apply(TW):
         TWa = jnp.where(act, TW, 0.0)
@@ -343,8 +348,15 @@ def solve_moving_mono_step_reduced(cap_st, D, f, bc_i, border, x_prev, t, dt,
                 dG = jnp.where(mask, 1.0 / border.mesh.h[axis], dG)
     dG = jnp.where(dG == 0.0, 1.0, dG)
 
-    x0 = jnp.where(act, TWp, 0.0)
-    TW, iters, relres = pcg(apply, b, x0, Minv=1.0 / dG, tol=tol,
+    # warm start: an explicit x0 (e.g. the previous Gauss-Newton iterate in
+    # the Stefan loop, whose system differs only by the front displacement)
+    # beats the time-step-start field by a large CG-iteration margin.
+    # Only cells live at the slab END (Va > 0) take the warm value: dead
+    # cells (Va = 0) sit on near-null rows CG cannot correct, and feeding
+    # the previous iterate back would accumulate junk across GN iterations.
+    guess = jnp.where(Va > 0, x0[0], TWp) if x0 is not None else TWp
+    xinit = jnp.where(act, guess, 0.0)
+    TW, iters, relres = pcg(apply, b, xinit, Minv=1.0 / dG, tol=tol,
                             maxiter=maxiter)
     return (TW, Tg), iters, relres
 
@@ -357,7 +369,7 @@ def _diag_GtWG_moving(ops):
 
 def solve_moving_mono_step(cap_st, D, f, bc_i, border, x_prev, t, dt, scheme,
                            tol=1e-9, maxiter=500, g_override=None,
-                           method="auto"):
+                           method="auto", x0=None):
     """One moving-interface slab solve by Jacobi-preconditioned matrix-free
     Krylov with warm start from ``x_prev`` (the production replacement for
     the dense ``_direct_solve``; VERDICT round-1 item 2).
@@ -374,12 +386,17 @@ def solve_moving_mono_step(cap_st, D, f, bc_i, border, x_prev, t, dt, scheme,
 
     ia, ib = build_I_bc(bc_i)
     if method == "auto":
-        reducible = np.isscalar(ib) and ib == 0.0 and scheme == "BE"
+        # reducible: Dirichlet-type closure under BE with a *uniform*
+        # diffusivity — for callable (spatially varying) D the reduced
+        # operator Va + Id*GtWG is not Euclidean-symmetric, so CG is
+        # unsound; route it to BiCGStab on the coupled system instead
+        reducible = (np.isscalar(ib) and ib == 0.0 and scheme == "BE"
+                     and np.isscalar(ia) and not callable(D))
         method = "reduced" if reducible else "pbicgstab"
     if method == "reduced":
         return solve_moving_mono_step_reduced(
             cap_st, D, f, bc_i, border, x_prev, t, dt,
-            tol=tol, maxiter=maxiter, g_override=g_override,
+            tol=tol, maxiter=maxiter, g_override=g_override, x0=x0,
         )
     apply_fn, rhs_fn = build_moving_mono_system(
         cap_st, D, f, bc_i, border, t, dt, scheme, g_override=g_override
@@ -390,7 +407,8 @@ def solve_moving_mono_step(cap_st, D, f, bc_i, border, x_prev, t, dt, scheme,
     if method == "direct":
         return _direct_solve(apply_fn, b), 0, 0.0
     solver = pcg if method == "pcg" else pbicgstab
-    return solver(apply_fn, b, x_prev, Minv=Minv, tol=tol, maxiter=maxiter)
+    return solver(apply_fn, b, x_prev if x0 is None else x0, Minv=Minv,
+                  tol=tol, maxiter=maxiter)
 
 
 def build_moving_diph_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
@@ -761,7 +779,7 @@ def build_moving_diph_stef_system(cap1, cap2, D1, D2, f1, f2, ic, border1,
 
 def solve_moving_diph_stef_step_reduced(cap1, cap2, D1, D2, f1, f2, ic,
                                         border1, border2, x_prev, t, dt,
-                                        tol=1e-9, maxiter=500):
+                                        tol=1e-9, maxiter=500, x0=None):
     """BE Stefan diphasic slab solve with both interface unknowns eliminated.
 
     The γ rows of the _stef system are pure diagonal ties
@@ -826,8 +844,11 @@ def solve_moving_diph_stef_step_reduced(cap1, cap2, D1, D2, f1, f2, ic,
     def apply(x):
         return (ap1(x[0]), ap2(x[1]))
 
-    x0 = (jnp.where(act1, TW1p, 0.0), jnp.where(act2, TW2p, 0.0))
-    (TW1, TW2), iters, relres = pcg(apply, (b1, b2), x0,
+    # dead cells (Va = 0) keep the cold-start value — see the mono solver
+    g1 = jnp.where(Va1 > 0, x0[0], TW1p) if x0 is not None else TW1p
+    g2 = jnp.where(Va2 > 0, x0[2], TW2p) if x0 is not None else TW2p
+    xinit = (jnp.where(act1, g1, 0.0), jnp.where(act2, g2, 0.0))
+    (TW1, TW2), iters, relres = pcg(apply, (b1, b2), xinit,
                                     Minv=(1.0 / dg1, 1.0 / dg2),
                                     tol=tol, maxiter=maxiter)
     return (TW1, TG1, TW2, TG2), iters, relres
@@ -835,7 +856,8 @@ def solve_moving_diph_stef_step_reduced(cap1, cap2, D1, D2, f1, f2, ic,
 
 def solve_moving_diph_stef_step(cap1, cap2, D1, D2, f1, f2, ic, border1,
                                 border2, x_prev, t, dt, scheme,
-                                tol=1e-9, maxiter=800, method="auto"):
+                                tol=1e-9, maxiter=800, method="auto",
+                                x0=None):
     """Jacobi-preconditioned Krylov solve of the Stefan diphasic slab system
     with warm start; returns ``(x, iters, relres)``.  The γ rows are pure
     diagonals (α₁/α₂), so the Jacobi preconditioner resolves them in one
@@ -850,7 +872,7 @@ def solve_moving_diph_stef_step(cap1, cap2, D1, D2, f1, f2, ic, border1,
     if method == "reduced":
         return solve_moving_diph_stef_step_reduced(
             cap1, cap2, D1, D2, f1, f2, ic, border1, border2, x_prev, t, dt,
-            tol=tol, maxiter=maxiter,
+            tol=tol, maxiter=maxiter, x0=x0,
         )
     apply_fn, rhs_fn = build_moving_diph_stef_system(
         cap1, cap2, D1, D2, f1, f2, ic, border1, border2, t, dt, scheme
@@ -882,7 +904,8 @@ def solve_moving_diph_stef_step(cap1, cap2, D1, D2, f1, f2, ic, border1,
     if method == "direct":
         return _direct_solve(apply_fn, b), 0, 0.0
     solver = pcg if method == "pcg" else pbicgstab
-    return solver(apply_fn, b, x_prev, Minv=Minv, tol=tol, maxiter=maxiter)
+    return solver(apply_fn, b, x_prev if x0 is None else x0, Minv=Minv,
+                  tol=tol, maxiter=maxiter)
 
 
 class MovingDiffusionUnsteadyMono(_ScalarSolverBase):

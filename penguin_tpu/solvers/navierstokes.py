@@ -69,7 +69,14 @@ class NavierStokesMono(StokesMono):
     # unsteady: implicit viscous + AB2 explicit convection
     # ------------------------------------------------------------------
     def solve_unsteady(self, dt, t_end, scheme="CN", method="auto", x0=None,
-                       tol=1e-10, maxiter=None):
+                       tol=1e-10, maxiter=None, record=None):
+        """``record``: optional jittable ``f(x) -> pytree of scalars``
+        evaluated on every step's state inside the scan (e.g. interface
+        forces / probe pressures for the DFG Cd/Cl time series — the
+        reference keeps every full state in ``histories`` and
+        post-processes on the host, flow_around_circle_cd_cl.jl:112-145;
+        recording scalars in-scan avoids holding 4000 full states).
+        Results land in ``self.record_log`` (stacked over steps)."""
         theta = 0.5 if scheme in ("CN", "cn") else 1.0
         apply_fn = self.make_unsteady_apply(dt, theta)
         base_rhs = self.make_unsteady_rhs(dt, theta)
@@ -96,6 +103,19 @@ class NavierStokesMono(StokesMono):
             def lin_solve(b, x0_=None):
                 return pbicgstab(apply_fn, b, x0_, Minv=M, tol=tol,
                                  maxiter=maxiter or 400)
+        elif method == "pgmres":
+            # restarted GMRES with the block-Schur preconditioner: the
+            # robust choice when BiCGStab breaks down on the cut-cell
+            # saddle point (observed on the DFG channel-cylinder system
+            # in f32: BiCGStab overflows at ~110 its, GMRES(60) converges)
+            from ..linsolve import pgmres
+
+            M = self.make_block_preconditioner(dt=dt, theta=theta)
+            telemetry = True
+
+            def lin_solve(b, x0_=None):
+                return pgmres(apply_fn, b, x0_, Minv=M, tol=tol,
+                              maxiter=maxiter or 400, restart=60)
         else:
             from jax.scipy.sparse.linalg import gmres
 
@@ -130,7 +150,8 @@ class NavierStokesMono(StokesMono):
                 else:
                     xn = lin_solve(b, xc)
                     aux = None
-                return (xn, conv_c, jnp.asarray(False)), aux
+                rec = record(xn) if record is not None else None
+                return (xn, conv_c, jnp.asarray(False)), (aux, rec)
 
             (xf, _, _), aux = jax.lax.scan(
                 body, (x0_, conv0, jnp.asarray(True)),
@@ -138,10 +159,12 @@ class NavierStokesMono(StokesMono):
             )
             return xf, aux
 
-        self.x, aux = run(x)
+        self.x, (aux, rec) = run(x)
         if telemetry:
             self.krylov_iters = np.asarray(aux[0])
             self.krylov_relres = np.asarray(aux[1])
+        if record is not None:
+            self.record_log = jax.tree_util.tree_map(np.asarray, rec)
         return self.x
 
     # ------------------------------------------------------------------

@@ -34,7 +34,13 @@ import jax
 import jax.numpy as jnp
 
 from ..assembly import border_info
-from ..capacity import compute_capacity_spacetime
+from ..capacity import (
+    _BAND_DEFAULT_SAFETY,
+    _is_traced,
+    _round_budget,
+    compute_capacity_spacetime,
+    compute_cell_volumes,
+)
 from ..front_tracking import (
     polyline_curvature,
     polyline_normals,
@@ -42,7 +48,6 @@ from ..front_tracking import (
     resample_markers,
     smooth_displacements,
 )
-from ..quadrature import box_integrals
 from .diffusion import _ScalarSolverBase
 from .moving_diffusion import (
     _direct_solve,
@@ -65,20 +70,85 @@ def _st_marker_body(x, y, t, params):
     return sign * ((dt - t) * phi_a + t * phi_b) / dt
 
 
-def _spatial_volumes(markers, mesh, sign, p, s):
+def _sp_vol_body_pos(x, y, mk):
+    return polyline_sdf(mk, x, y)
+
+
+def _sp_vol_body_neg(x, y, mk):
+    return -polyline_sdf(mk, x, y)
+
+
+def _spatial_volumes(markers, mesh, sign, p, s, band_budget=None):
     """Cut-cell fluid volumes of the spatial grid for a marker polygon
-    (cells only, padded grid)."""
-    nx, ny = mesh.n
-    lox = jnp.asarray(np.asarray(mesh.nodes[0][:-1])).reshape(nx, 1)
-    hix = jnp.asarray(np.asarray(mesh.nodes[0][1:])).reshape(nx, 1)
-    loy = jnp.asarray(np.asarray(mesh.nodes[1][:-1])).reshape(1, ny)
-    hiy = jnp.asarray(np.asarray(mesh.nodes[1][1:])).reshape(1, ny)
+    (cells only, padded grid).  Narrow-band when ``band_budget`` is set —
+    the polyline SDF is O(n_markers)/sample, so skipping far-field samples
+    is the dominant cost lever."""
+    body = _sp_vol_body_pos if sign > 0 else _sp_vol_body_neg
+    return compute_cell_volumes(body, mesh, p=p, s=s, params=markers,
+                                band_budget=band_budget)
 
-    def body(xx, yy):
-        return sign * polyline_sdf(markers, xx, yy)
 
-    V, _ = box_integrals(body, [lox, loy], [hix, hiy], p=p, s=s)
-    return jnp.pad(V, [(0, mesh.np_shape[d] - V.shape[d]) for d in range(2)])
+def _auto_band_budget(markers, mesh, dt, sign, band_budget, headroom=4):
+    """Size the static narrow-band budget from the *initial* front
+    (membership is traced per GN iteration; the budget cannot be).
+
+    The count is geometric — cells within ~safety×diag of the polyline:
+    perimeter/h × band width in cells (cross-checked against the exact
+    nodal count from ``estimate_band_budget``: circle at 512², exact 3264
+    vs geometric ~3600; the exact count would cost an eager full-grid
+    polyline-SDF pass, which defeats the purpose).  ``headroom``× covers
+    front growth over the run; overflow degrades to corner-sign full/empty
+    far values."""
+    if band_budget != "auto":
+        return band_budget
+    if _is_traced(markers):
+        return None
+    mk = np.asarray(markers)
+    seg = np.roll(mk, -1, axis=0) - mk
+    P = float(np.sum(np.hypot(seg[:, 0], seg[:, 1])))
+    h = float(min(mesh.h[:2]))
+    width = 2.0 * _BAND_DEFAULT_SAFETY * 1.5 + 3.0  # cells across the band
+    count = max(int(P / h * width), 256)
+    return _round_budget(headroom * count, mesh.ncells())
+
+
+def _sticky_band_budget(solver, markers, mesh, dt, sign, band_budget):
+    """Per-solver sticky budget: repeated solve() calls keep the previous
+    (sufficient) budget so the compiled-loop cache stays hot — a freshly
+    grown front crossing a power-of-two budget boundary would otherwise
+    force a full ~minute recompile of the scan."""
+    est = _auto_band_budget(markers, mesh, dt, sign, band_budget)
+    prev = getattr(solver, "_band_budget", None)
+    if (band_budget == "auto" and est is not None and prev is not None
+            and est <= prev):
+        est = prev
+    if est is not None:
+        solver._band_budget = est
+    return est
+
+
+def _cond_key(obj):
+    """Value-based cache key for BC / interface-condition objects.  Object
+    ids are unsafe (CPython reuses them after GC); holding the callables in
+    the key tuple keeps identity-keyed entries alive."""
+    if obj is None:
+        return None
+    vals = [type(obj).__name__]
+    for fld in ("Tm", "eps_k", "eps_v", "alpha", "beta", "alpha1", "alpha2",
+                "beta1", "beta2", "value"):
+        v = getattr(obj, fld, None)
+        if isinstance(v, (int, float)):
+            vals.append((fld, float(v)))
+        elif v is None or callable(v):
+            vals.append((fld, v))
+        else:  # array-valued: compare by content
+            vals.append((fld, np.asarray(v).tobytes()))
+    return tuple(vals)
+
+
+def _ic_key(ic):
+    return (_cond_key(getattr(ic, "scalar", None)),
+            _cond_key(getattr(ic, "flux", None)))
 
 
 def _box3_filter(F):
@@ -121,7 +191,7 @@ class StefanMono2D(_ScalarSolverBase):
               smooth_window=5, smooth_passes=1,
               extrapolation_factor=0.8, max_disp_cells=0.5,
               jac="autodiff",
-              p=4, s=1, jac_p=4, jac_s=1):
+              p=4, s=1, jac_p=4, jac_s=1, band_budget="auto"):
         """``front``: FrontTracker (markers define the *solid/fluid*
         polygon; ``interior_fluid`` chooses which side is the simulated
         phase).  Returns final temperature; marker history in
@@ -148,11 +218,13 @@ class StefanMono2D(_ScalarSolverBase):
         from ..boundary import GibbsThomson
 
         gibbs = isinstance(bc_i, GibbsThomson)
+        band_budget = _sticky_band_budget(self, front.markers, mesh, dt,
+                                          sign, band_budget)
 
-        def slab_solve(Told, mk_a, mk_b, t):
+        def slab_solve(Told, mk_a, mk_b, t, Tguess=None):
             cap = compute_capacity_spacetime(
                 _st_marker_body, mesh, 0.0, dt, p=p, s=s,
-                params=(mk_a, mk_b, dt, sign),
+                params=(mk_a, mk_b, dt, sign), band_budget=band_budget,
             )
             g_override = None
             if gibbs:
@@ -196,7 +268,7 @@ class StefanMono2D(_ScalarSolverBase):
             T, klv_it, klv_res = solve_moving_mono_step(
                 cap, D, f, bc_i, border, Told, t, dt, scheme,
                 tol=lin_tol, maxiter=lin_maxiter, g_override=g_override,
-                method=method,
+                method=method, x0=Tguess,
             )
             ops, Va, Vb, Gamma0, C_sp, _ = slice_spacetime(cap)
             Id = _eval_D(D, C_sp)
@@ -204,9 +276,9 @@ class StefanMono2D(_ScalarSolverBase):
             flux = Id * ops.HT(q)
             return T, flux, Va, Vb, klv_it
 
-        def residual(Told, mk_a, normals, d, t):
+        def residual(Told, mk_a, normals, d, t, Tguess=None):
             mk_b = mk_a + d[:, None] * normals
-            T, flux, Va, Vb, klv_it = slab_solve(Told, mk_a, mk_b, t)
+            T, flux, Va, Vb, klv_it = slab_solve(Told, mk_a, mk_b, t, Tguess)
             F = rhoL * (Va - Vb) - flux
             if enable_stencil_fusion:
                 F = _box3_filter(F)
@@ -217,7 +289,8 @@ class StefanMono2D(_ScalarSolverBase):
             the reference also freezes the temperature/flux when building
             J, stefan.jl:793-807)."""
             mk_b = mk_a + d[:, None] * normals
-            Vb = _spatial_volumes(mk_b, mesh, sign, jac_p, jac_s)
+            Vb = _spatial_volumes(mk_b, mesh, sign, jac_p, jac_s,
+                                  band_budget)
             F = -rhoL * Vb
             if enable_stencil_fusion:
                 F = _box3_filter(F)
@@ -253,6 +326,12 @@ class StefanMono2D(_ScalarSolverBase):
 
             def body(st):
                 d, T, lam, prev_rn, rn_old, it, kit = st
+                # NOTE: deliberately NO warm start from the previous GN
+                # iterate T here — it makes the slab solution a function of
+                # the GN *path* instead of a deterministic function of d,
+                # and the resulting flux noise (inner tol amplified by the
+                # 1/h² flux extraction) stalls the GN at ~1e-2 residuals
+                # (measured at 512²: cold 1.7 GN/step vs warm 8.4 = max_iter)
                 F, Tn, klv_it = residual(Told, mk_a, normals, d, t)
                 Fv = F.ravel()
                 J = jac_fn(d, mk_a, normals)  # (ncells, nm)
@@ -261,6 +340,10 @@ class StefanMono2D(_ScalarSolverBase):
                 diag = jnp.maximum(diag, 1e-10 * jnp.max(diag))
                 A = JTJ + lam * jnp.diag(diag)
                 delta = jnp.linalg.solve(A, J.T @ Fv)
+                # a non-finite LM step (singular J, diverged inner solve)
+                # must not poison the markers: skip it, let λ adaptation
+                # and the next residual recover
+                delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
                 d_new = d - alpha * delta
                 d_new = smooth_displacements(d_new, smooth_window, smooth_passes)
                 d_new = jnp.clip(d_new, -max_disp, max_disp)
@@ -301,11 +384,12 @@ class StefanMono2D(_ScalarSolverBase):
         # fresh closure each call, so without this every solve retraces
         # the whole scan (tens of seconds at 256²) even though the device
         # time per GN iteration is ~36 ms.
-        cache_key = (K, nm, t_start, jac, method, p, s, jac_p, jac_s,
-                     max_iter, tol, reltol, alpha, lin_tol, lin_maxiter,
-                     enable_stencil_fusion, smooth_window, smooth_passes,
-                     extrapolation_factor, max_disp_cells, interior_fluid,
-                     lm_init_lambda, lm_lambda_factor, id(ic), id(self.bc_i))
+        cache_key = (K, nm, t_start, self.dt, jac, method, p, s, jac_p,
+                     jac_s, max_iter, tol, reltol, alpha, lin_tol,
+                     lin_maxiter, enable_stencil_fusion, smooth_window,
+                     smooth_passes, extrapolation_factor, max_disp_cells,
+                     interior_fluid, lm_init_lambda, lm_lambda_factor,
+                     band_budget, _ic_key(ic), _cond_key(self.bc_i))
         if getattr(self, "_run_cache_key", None) == cache_key:
             run = self._run_cache
         else:
@@ -329,7 +413,7 @@ class StefanMono2D(_ScalarSolverBase):
                    method="auto", lin_tol=1e-9, lin_maxiter=400,
                    smooth_window=11, smooth_passes=2,
                    extrapolation_factor=0.8, max_disp_cells=0.5,
-                   p=4, s=1):
+                   p=4, s=1, band_budget="auto"):
         """Geometric front update (solve_StefanMono2D_geom!,
         stefan.jl:1135-1403): instead of the Gauss-Newton volume Jacobian,
         each iteration converts the per-cell energy residual
@@ -354,11 +438,13 @@ class StefanMono2D(_ScalarSolverBase):
         nm = front.markers.shape[0]
         nx, ny = mesh.n
         max_disp = max_disp_cells * min(mesh.h[:2])
+        band_budget = _sticky_band_budget(self, front.markers, mesh, dt,
+                                          sign, band_budget)
 
         def slab_solve(Told, mk_a, mk_b, t):
             cap = compute_capacity_spacetime(
                 _st_marker_body, mesh, 0.0, dt, p=p, s=s,
-                params=(mk_a, mk_b, dt, sign),
+                params=(mk_a, mk_b, dt, sign), band_budget=band_budget,
             )
             T, _klv_it, _klv_res = solve_moving_mono_step(
                 cap, D, f, bc_i, border, Told, t, dt, scheme,
@@ -466,7 +552,7 @@ class StefanDiph2D(_ScalarSolverBase):
               smooth_window=5, smooth_passes=1,
               extrapolation_factor=0.8, max_disp_cells=0.5,
               jac="autodiff",
-              p=4, s=1, jac_p=4, jac_s=1):
+              p=4, s=1, jac_p=4, jac_s=1, band_budget="auto"):
         """``latent_sign``: +1 when phase-1 growth *absorbs* latent heat
         (melting into phase 1, the 1D reference bookkeeping), -1 when
         phase-1 growth *releases* it (solidification, e.g. Frank disk)."""
@@ -486,19 +572,22 @@ class StefanDiph2D(_ScalarSolverBase):
         D1, f1 = self.phase1.diffusion, self.phase1.source
         D2, f2 = self.phase2.diffusion, self.phase2.source
         nm = front.markers.shape[0]
+        band_budget = _sticky_band_budget(self, front.markers, mesh, dt,
+                                          sign, band_budget)
 
-        def slab_solve(Xold, mk_a, mk_b, t):
+        def slab_solve(Xold, mk_a, mk_b, t, Xguess=None):
             cap1 = compute_capacity_spacetime(
                 _st_marker_body, mesh, 0.0, dt, p=p, s=s,
-                params=(mk_a, mk_b, dt, sign))
+                params=(mk_a, mk_b, dt, sign), band_budget=band_budget)
             cap2 = compute_capacity_spacetime(
                 _st_marker_body, mesh, 0.0, dt, p=p, s=s,
-                params=(mk_a, mk_b, dt, -sign))
+                params=(mk_a, mk_b, dt, -sign), band_budget=band_budget)
             b1m = border_info(mesh, bc_b, phase_mask=cap1.cell_types[..., 0] != 0)
             b2m = border_info(mesh, bc_b, phase_mask=cap2.cell_types[..., 0] != 0)
             X, _klv_it, _klv_res = solve_moving_diph_stef_step(
                 cap1, cap2, D1, D2, f1, f2, ic, b1m, b2m, Xold, t, dt,
-                scheme, tol=lin_tol, maxiter=lin_maxiter, method=method)
+                scheme, tol=lin_tol, maxiter=lin_maxiter, method=method,
+                x0=Xguess)
             s1 = slice_spacetime(cap1)
             s2 = slice_spacetime(cap2)
             Id1 = evD(D1, s1[4])
@@ -512,7 +601,8 @@ class StefanDiph2D(_ScalarSolverBase):
 
         def vol_residual(d, mk_a, normals):
             mk_b = mk_a + d[:, None] * normals
-            Vb = _spatial_volumes(mk_b, mesh, sign, jac_p, jac_s)
+            Vb = _spatial_volumes(mk_b, mesh, sign, jac_p, jac_s,
+                                  band_budget)
             F = -latent_sign * rhoL * Vb
             if enable_stencil_fusion:
                 F = _box3_filter(F)
@@ -546,6 +636,7 @@ class StefanDiph2D(_ScalarSolverBase):
             def body(st):
                 d, X, lam, prev_rn, rn_old, it = st
                 mk_b = mk_a + d[:, None] * normals
+                # no warm start from X: see StefanMono2D (GN determinism)
                 Xn, F = slab_solve(Xold, mk_a, mk_b, t)
                 Fv = F.ravel()
                 J = jac_fn(d, mk_a, normals)
@@ -553,6 +644,7 @@ class StefanDiph2D(_ScalarSolverBase):
                 diag = jnp.maximum(jnp.diagonal(JTJ),
                                    1e-10 * jnp.max(jnp.diagonal(JTJ)))
                 delta = jnp.linalg.solve(JTJ + lam * jnp.diag(diag), J.T @ Fv)
+                delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
                 d_new = smooth_displacements(d - alpha * delta, smooth_window,
                                              smooth_passes)
                 d_new = jnp.clip(d_new, -max_disp, max_disp)

@@ -329,6 +329,21 @@ class StokesMono:
                     v = float(val) * np.ones(p_shape)
                 out_vals = np.where(m1, v, out_vals)
                 out_mask |= m1
+        if out_mask.any():
+            # the outflow pin fixes the pressure level only of its own
+            # connected fluid region; with disconnected regions (and the
+            # gauge disabled below) the others would keep a free constant
+            # mode — gauge-pin one cell of each at level 0
+            from scipy import ndimage
+            lab, nlab = ndimage.label(np.asarray(self.p_active))
+            pinned = set(np.unique(lab[out_mask & (lab > 0)]).tolist())
+            for comp in range(1, nlab + 1):
+                if comp in pinned:
+                    continue
+                cells = np.flatnonzero((lab == comp).ravel())
+                m1 = np.zeros(p_shape, bool)
+                m1.ravel()[cells[cells.size // 2]] = True
+                out_mask |= m1  # out_vals stays 0 there (gauge level)
         self.outflow_p_mask = jnp.asarray(out_mask) if out_mask.any() else None
         self.outflow_p_vals = jnp.asarray(out_vals)
 
@@ -551,6 +566,14 @@ class StokesMono:
         lift/drag ~ 0.5% by symmetry).  Sign: force ON the fluid; the
         drag on the body is the negative."""
         x = x if x is not None else self.x
+        out = self.interface_force_traced(x, parts=parts)
+        if parts:
+            return tuple((float(a), float(b)) for a, b in out)
+        return tuple(float(v) for v in out)
+
+    def interface_force_traced(self, x, parts=False):
+        """Jittable :meth:`interface_force` (jnp scalars — usable inside a
+        scan for per-step force time series, e.g. the DFG Cd/Cl benchmark)."""
         N = self.N
         p = x[2 * N]
         opp = self.fluid.operator_p
@@ -558,10 +581,10 @@ class StokesMono:
         for d in range(N):
             ops = self.fluid.operator_u[d]
             q = ops.flux(x[2 * d], x[2 * d + 1])
-            visc = float(jnp.sum(self.mu_diag[d] * ops.HT(q)))
+            visc = jnp.sum(self.mu_diag[d] * ops.HT(q))
             Hp = (opp.A[d] * dm(p, d, opp._per(d))
                   - dm(opp.B[d] * p, d, opp._per(d)))
-            pres = float(jnp.sum(Hp))
+            pres = jnp.sum(Hp)
             out.append((pres, visc) if parts else pres + visc)
         return tuple(out)
 
@@ -679,8 +702,34 @@ class StokesMono:
 
         return M
 
-    def solve(self, method="auto", tol=1e-10, maxiter=None):
+    def solve(self, method="auto", tol=1e-10, maxiter=None, x0=None,
+              restart=100):
+        """Steady solve.  ``auto``: dense LU for small systems, else
+        block-Schur-preconditioned GMRES (``schur_gmres``) — the scalable
+        saddle-point path (the reference factorizes with UMFPACK,
+        src/solver/stokes.jl:1512-1567; on TPU the approximate block-LDU
+        inverse + restarted GMRES replaces it, seconds instead of minutes
+        where the dense fallback was used before)."""
         b = self.rhs_steady()
+        if method == "auto":
+            nflat = sum(int(np.prod(np.asarray(u.shape))) for u in b)
+            method = "direct" if nflat <= 12000 else "schur_gmres"
+        if method in ("schur_gmres", "schur_bicgstab"):
+            from ..linsolve import pbicgstab, pgmres
+
+            M = self.make_block_preconditioner(dt=None, theta=1.0)
+            x0_ = x0 if x0 is not None else self.zero_state()
+            if method == "schur_gmres":
+                x, its, rr = pgmres(self.apply_steady, b, x0_, Minv=M,
+                                    tol=tol, maxiter=maxiter or 2000,
+                                    restart=restart)
+            else:
+                x, its, rr = pbicgstab(self.apply_steady, b, x0_, Minv=M,
+                                       tol=tol, maxiter=maxiter or 2000)
+            self.x = x
+            self.krylov_iters = int(its)
+            self.krylov_relres = float(rr)
+            return self.x
         self.x = solve_linear(self.apply_steady, b, method=method, tol=tol,
                               maxiter=maxiter)
         return self.x

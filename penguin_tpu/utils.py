@@ -147,6 +147,14 @@ def clamp_merge_small_cells(capacity, tol=1e-12):
     d2s, oks = [], []
     for d, s in dirs:
         nb_good = roll(good, d, s)
+        # roll wraps across the domain; the wrapped slots happen to land on
+        # the inert padding plane (V=0 -> good=False) for pad>=1, but mask
+        # them explicitly so the no-cross-domain-merge invariant does not
+        # depend on the padding layout
+        idx = jnp.arange(V.shape[d]).reshape(
+            tuple(-1 if i == d else 1 for i in range(V.ndim)))
+        in_range = (idx + s >= 0) & (idx + s < V.shape[d])
+        nb_good = nb_good & in_range
         nb_C = roll(C, d, s)
         d2 = jnp.sum((C - nb_C) ** 2, axis=-1)
         d2s.append(jnp.where(nb_good, d2, jnp.inf))
