@@ -36,11 +36,52 @@ class NavierStokesMono(StokesMono):
     # ------------------------------------------------------------------
     # convection operators (matrix-free)
     # ------------------------------------------------------------------
+    def _conv_outflow_masks(self, d):
+        """Last-live-plane masks (one per own-axis high-side Outflow
+        border) on component d's grid, built once per instance."""
+        masks = getattr(self, "_conv_out_masks", None)
+        if masks is None:
+            from ..boundary import Outflow as _Out
+            from .stokes import _AXIS_KEYS, _AXIS_KEYS_1D
+
+            keymap = _AXIS_KEYS_1D if self.N == 1 else _AXIS_KEYS
+            masks = []
+            for c in range(self.N):
+                items = []
+                for key, cond in self.bc_u[c].borders:
+                    if not isinstance(cond, _Out) or key not in keymap:
+                        continue
+                    axis, side = keymap[key]
+                    if axis != c or side != 1:
+                        continue
+                    shape = self.fluid.mesh_u[c].np_shape
+                    m = np.zeros(shape, bool)
+                    sl = [slice(None)] * len(shape)
+                    sl[axis] = self.fluid.mesh_u[c].n[axis] - 1
+                    m[tuple(sl)] = True
+                    items.append((axis, jnp.asarray(m)))
+                masks.append(tuple(items))
+            self._conv_out_masks = masks
+        return masks[d]
+
     def conv_bulk(self, d, uw_all, q):
-        """C_d(u) q : flux-form convection of q on component-d's grid."""
+        """C_d(u) q : flux-form convection of q on component-d's grid.
+
+        At an own-axis Outflow border the centered flux-form stencil is
+        replaced by an UPWIND one-sided difference on the last live plane:
+        the padding plane beyond it is structurally zeroed inside sm/dp
+        (``_zlast``), so the centered form sees only a quarter of the
+        outgoing momentum flux — effectively a 75%-blocked wall.  On the
+        DFG channel that reflected the convected front when it reached the
+        outlet (t ≈ 0.6) and blew up the run; the one-sided form lets it
+        leave transparently."""
+        from ..operators import _shift_m
+
         A = self.fluid.capacity_u[d].A
-        flux_p = sm(A[d] * uw_all[d], d)
-        out = dp(flux_p * sm(q, d), d)
+        own_g = sm(A[d] * uw_all[d], d) * sm(q, d)
+        out = dp(own_g, d)
+        for axis, mask in self._conv_outflow_masks(d):
+            out = jnp.where(mask, own_g - _shift_m(own_g, axis), out)
         for j in range(self.N):
             if j == d:
                 continue
@@ -69,14 +110,21 @@ class NavierStokesMono(StokesMono):
     # unsteady: implicit viscous + AB2 explicit convection
     # ------------------------------------------------------------------
     def solve_unsteady(self, dt, t_end, scheme="CN", method="auto", x0=None,
-                       tol=1e-10, maxiter=None, record=None):
+                       tol=1e-10, maxiter=None, record=None, t_start=0.0):
         """``record``: optional jittable ``f(x) -> pytree of scalars``
         evaluated on every step's state inside the scan (e.g. interface
         forces / probe pressures for the DFG Cd/Cl time series — the
         reference keeps every full state in ``histories`` and
         post-processes on the host, flow_around_circle_cd_cl.jl:112-145;
         recording scalars in-scan avoids holding 4000 full states).
-        Results land in ``self.record_log`` (stacked over steps)."""
+        Results land in ``self.record_log`` (stacked over steps).
+
+        ``t_start``: BC/source evaluation time of the first step — lets a
+        long run be split into warm-started chunks (``x0`` = previous
+        chunk's state): one multi-minute device-side scan can trip the
+        TPU-runtime watchdog (observed as a worker crash on the 4000-step
+        DFG run).  Chunk boundaries restart the AB2 extrapolation with one
+        AB1 step."""
         theta = 0.5 if scheme in ("CN", "cn") else 1.0
         apply_fn = self.make_unsteady_apply(dt, theta)
         base_rhs = self.make_unsteady_rhs(dt, theta)
@@ -85,7 +133,7 @@ class NavierStokesMono(StokesMono):
         N = self.N
 
         x = x0 if x0 is not None else self.zero_state()
-        n_steps = int(np.ceil(t_end / dt - 1e-12))
+        n_steps = int(np.ceil((t_end - t_start) / dt - 1e-12))
         nflat = sum(int(np.prod(np.asarray(u.shape))) for u in x)
         if method == "auto":
             method = "direct" if nflat <= 12000 else "pbicgstab"
@@ -135,31 +183,43 @@ class NavierStokesMono(StokesMono):
             )
             return base_rhs(xc, t, t + dt, extra_mom=extra)
 
-        @jax.jit
-        def run(x0_):
-            conv0 = self.conv_vectors(x0_)
+        # compiled-scan cache: chunked runs (same n_steps, varying t_start)
+        # reuse one executable — t_start is a traced argument.  The key
+        # holds the record fn object itself (keeps it alive: no GC id
+        # reuse).
+        cache = getattr(self, "_unsteady_run_cache", None)
+        if cache is None:
+            cache = self._unsteady_run_cache = {}
+        key = (dt, theta, method, tol, maxiter, n_steps, record)
+        run = cache.get(key)
+        if run is None:
+            @jax.jit
+            def run(x0_, t0_):
+                conv0 = self.conv_vectors(x0_)
 
-            def body(carry, k):
-                xc, conv_p, first = carry
-                t = k * dt
-                conv_c = self.conv_vectors(xc)
-                b = full_rhs(xc, conv_c, conv_p, first, t)
-                if telemetry:
-                    xn, iters, relres = lin_solve(b, xc)
-                    aux = (iters, relres)
-                else:
-                    xn = lin_solve(b, xc)
-                    aux = None
-                rec = record(xn) if record is not None else None
-                return (xn, conv_c, jnp.asarray(False)), (aux, rec)
+                def body(carry, k):
+                    xc, conv_p, first = carry
+                    t = t0_ + k * dt
+                    conv_c = self.conv_vectors(xc)
+                    b = full_rhs(xc, conv_c, conv_p, first, t)
+                    if telemetry:
+                        xn, iters, relres = lin_solve(b, xc)
+                        aux = (iters, relres)
+                    else:
+                        xn = lin_solve(b, xc)
+                        aux = None
+                    rec = record(xn) if record is not None else None
+                    return (xn, conv_c, jnp.asarray(False)), (aux, rec)
 
-            (xf, _, _), aux = jax.lax.scan(
-                body, (x0_, conv0, jnp.asarray(True)),
-                jnp.arange(n_steps, dtype=jnp.float64),
-            )
-            return xf, aux
+                (xf, _, _), aux = jax.lax.scan(
+                    body, (x0_, conv0, jnp.asarray(True)),
+                    jnp.arange(n_steps, dtype=jnp.float64),
+                )
+                return xf, aux
 
-        self.x, (aux, rec) = run(x)
+            cache[key] = run
+
+        self.x, (aux, rec) = run(x, t_start)
         if telemetry:
             self.krylov_iters = np.asarray(aux[0])
             self.krylov_relres = np.asarray(aux[1])

@@ -113,6 +113,20 @@ class VelocityBorder:
             axis, side = keymap[key]
             if axis >= N:
                 continue
+            if isinstance(cond, Outflow) and axis == comp:
+                # Normal component at an open boundary: KEEP the momentum
+                # row.  The staggered comp-mesh ends half a cell inside the
+                # domain, so its edge W slot is structurally zero — the
+                # natural truncation already imposes zero diffusive normal
+                # flux (the do-nothing condition) — and the through-flow
+                # rate is then set by momentum + the prescribed outflow
+                # pressure plane (StokesMono.__init__).  Replacing this row
+                # with ``u_b − u_{b−1} = 0`` (as for the tangential
+                # component) leaves the flow rate appearing in NO momentum
+                # row: combined with the one-cell pressure pin it produced
+                # an exact through-flow null mode (mass loss, SVD-verified
+                # on the 16×8 inflow channel).
+                continue
             n_real = mesh_comp.n[axis]
             idx = 0 if side == 0 else n_real - 1
             mask = np.zeros(shape, dtype=bool)
@@ -287,48 +301,53 @@ class StokesMono:
             shp = [1] * N
             shp[d] = p_shape[d]
             pos_p.append(np.broadcast_to(c.reshape(shp), p_shape))
-        for bc in self.bc_u:
+        for bc_i_, bc in enumerate(self.bc_u):
             for key, cond in bc.borders:
-                if not (isinstance(cond, Outflow)
-                        and cond.pressure is not None):
+                if not isinstance(cond, Outflow):
                     continue
                 if key not in keymap:
                     continue
                 axis, side = keymap[key]
-                if axis >= N:
+                if axis >= N or axis != bc_i_:
                     continue
-                # pin ONE active outlet cell: the value is a pressure
-                # *reference level* (it replaces the gauge), not a row per
-                # border cell — replacing the whole column's continuity
-                # rows would alter the velocity field.  The border plane
-                # itself may be entirely orphaned (its velocity rows are
-                # all Outflow-surgered), so walk inward to the nearest
-                # plane holding an active pressure DOF.
+                # Prescribe the pressure on the WHOLE outflow plane (the
+                # standard staggered pressure-outlet closure; reference
+                # Outflow, src/boundary.jl:60-74, default level 0).  The
+                # plane's continuity rows become p = p_ref; the last
+                # interior normal-velocity momentum row (kept real — see
+                # VelocityBorder) then sets the through-flow rate.  A
+                # single-cell reference pin is NOT enough: in an open
+                # system every continuity row is independent, so deleting
+                # one (pin or gauge) creates an exact through-flow null
+                # mode — mass entered at the pinned cell and left through
+                # the outlet (SVD on the 16×8 channel: σ_min = 7e-16,
+                # station fluxes of the null mode uniform past the pin).
+                # The plane nearest the border that holds active pressure
+                # DOFs is used (the border plane itself can be dry).
                 n_ax = fluid.mesh_p.n[axis]
                 step = 1 if side == 0 else -1
                 start = 0 if side == 0 else n_ax - 1
-                flat_idx = np.array([], int)
+                m = np.zeros(p_shape, bool)
                 for idx in range(start, start + step * n_ax, step):
                     sl = [slice(None)] * N
                     sl[axis] = idx
                     m = np.zeros(p_shape, bool)
                     m[tuple(sl)] = True
                     m &= np.asarray(self.p_active)
-                    flat_idx = np.flatnonzero(m.ravel())
-                    if flat_idx.size:
+                    if m.any():
                         break
-                if flat_idx.size == 0:
+                if not m.any():
                     continue
-                m1 = np.zeros(p_shape, bool)
-                m1.ravel()[flat_idx[flat_idx.size // 2]] = True
                 val = cond.pressure
                 if callable(val):
                     v = np.asarray(eval_condition_value(
                         val, [jnp.asarray(q) for q in pos_p]))
-                else:
+                elif val is not None:
                     v = float(val) * np.ones(p_shape)
-                out_vals = np.where(m1, v, out_vals)
-                out_mask |= m1
+                else:
+                    v = np.zeros(p_shape)
+                out_vals = np.where(m, v, out_vals)
+                out_mask |= m
         if out_mask.any():
             # the outflow pin fixes the pressure level only of its own
             # connected fluid region; with disconnected regions (and the
@@ -352,6 +371,7 @@ class StokesMono:
         Vp = np.asarray(fluid.capacity_p.V)
         if self.outflow_p_mask is not None:
             self.pin_mask = None
+            self.pin_idx = None
             self.mean_w = None
         elif isinstance(self.gauge, PinPressureGauge):
             idx = self.gauge.index

@@ -248,17 +248,18 @@ def test_outflow_channel_mass_conservation():
     solver.solve(method="lstsq")
     ux = np.asarray(solver.velocity(0))[:n, :n]
     assert np.isfinite(ux).all()
-    # flux is exactly conserved through every column except those touching
-    # the pinned pressure DOF (its continuity row is the gauge row; the
-    # pin column's flux defect shifts between columns i_pin and i_pin+1)
+    # flux is exactly conserved through EVERY interior column: the outflow
+    # plane carries prescribed-pressure rows (no continuity row is
+    # sacrificed for a gauge pin, which used to leave a through-flow null
+    # mode and a per-pin-cell flux defect)
     q = ux.sum(axis=1)
-    i_pin = solver.pin_idx[0]
-    keep = [i for i in range(1, n) if i not in (i_pin, i_pin + 1)]
-    ref = q[keep[0]]
+    ref = q[1]
     assert ref > 0.05  # flow actually enters
-    assert np.abs(q[keep] - ref).max() / ref < 1e-9, (q, i_pin)
-    # zero-gradient exit: last column equals its upstream neighbor
-    assert np.abs(ux[-1, 1:-1] - ux[-2, 1:-1]).max() < 1e-10
+    assert np.abs(q[1:n] - ref).max() / ref < 1e-9, q
+    # developed Poiseuille inflow => nearly x-independent solution; the
+    # prescribed-pressure outflow plane perturbs the exit profile only
+    # locally and at O(h) (measured 7.5e-5 at n=16)
+    assert np.abs(ux[-1, 1:-1] - ux[-2, 1:-1]).max() < 1e-3
 
 
 def test_mean_pressure_gauge_hydrostatic():
@@ -324,19 +325,18 @@ def test_outflow_prescribed_pressure_sets_level():
         return s
 
     s_ref = solve(fluid_b, pt.Outflow(p_ref), PinPressureGauge())
-    # the free-pressure run must gauge the SAME cell (a pinned continuity
-    # row is locally invasive in an open domain, so pin location matters)
-    pin_cell = tuple(int(v) for v in
-                     np.argwhere(np.asarray(s_ref.outflow_p_mask))[0])
-    s_free = solve(fluid_a, pt.Outflow(), PinPressureGauge(pin_cell))
+    # Outflow() defaults the outlet-plane level to 0 (same closure, level
+    # shift only); the gauge is inactive in both runs
+    s_free = solve(fluid_a, pt.Outflow(), PinPressureGauge())
     for d in range(2):
         du = np.abs(np.asarray(s_free.velocity(d))
                     - np.asarray(s_ref.velocity(d)))[:n, :n].max()
         assert du < 1e-8, du
     p = np.asarray(s_ref.pressure)
-    # prescribed level imposed on the pinned outlet reference cell
+    # prescribed level imposed on every cell of the outflow plane (the
+    # plane closure that makes the open system nonsingular)
     pin = np.asarray(s_ref.outflow_p_mask)
-    assert pin.sum() == 1
+    assert pin.sum() >= n - 2, pin.sum()
     np.testing.assert_allclose(p[pin], p_ref, atol=1e-9)
     # active pressure fields agree up to the constant level shift (orphan
     # cells are identity rows = 0 in both runs)
