@@ -56,9 +56,21 @@ fluid = pt.Fluid(
 )
 
 
+T_ramp = 1.0
+
+
 def inflow(x, y, z=0.0, t=None):
+    """Parabolic profile with a smooth cosine start-up ramp: an impulsive
+    start under CN spikes |u| ~ 16 at step 0 and the AB2 convection
+    extrapolation then blows past the CFL limit (observed); DFG itself
+    prescribes ramped inflow for the time-dependent cases (2D-3)."""
     xi = y / Ly
-    return Umax * 4.0 * xi * (1.0 - xi)
+    prof = Umax * 4.0 * xi * (1.0 - xi)
+    if t is None:
+        return prof
+    ramp = jnp.where(t >= T_ramp, 1.0,
+                     0.5 * (1.0 - jnp.cos(jnp.pi * t / T_ramp)))
+    return ramp * prof
 
 
 noslip = pt.Dirichlet(0.0)
@@ -88,22 +100,38 @@ iA, iB = probe_idx((0.15, 0.2)), probe_idx((0.25, 0.2))
 def record(x):
     fx, fy = solver.interface_force_traced(x)
     p = x[2 * solver.N]
-    return (-fx, -fy, p[iA] - p[iB])  # force ON the body, front-back dp
+    # force ON the body; the state stores p = -p_physical (reference sign
+    # convention, stokes.py header) so the physical front-back Δp = pB - pA
+    return (-fx, -fy, p[iB] - p[iA])
 
 
 t0 = time.time()
-# pgmres: BiCGStab overflows on this cut-cell saddle point in f32
-solver.solve_unsteady(dt, T_end, scheme="CN", method="pgmres",
-                      tol=1e-6, maxiter=240, record=record)
-wall = time.time() - t0
+# pgmres: BiCGStab overflows on this cut-cell saddle point in f32.
+# Chunked: one 4000-step device-side scan runs minutes once shedding
+# drives GMRES to ~60 its/step and trips the TPU-runtime watchdog
+# (worker crash); 500-step chunks warm-started via x0/t_start reuse one
+# compiled scan.
+chunk_steps = 500
 n_steps = int(round(T_end / dt))
-Fx, Fy, dP = solver.record_log
+logs, kits, rels = [], [], []
+x = None
+for k0 in range(0, n_steps, chunk_steps):
+    t0_c = k0 * dt
+    t1_c = min(n_steps, k0 + chunk_steps) * dt
+    x = solver.solve_unsteady(dt, t1_c, scheme="CN", method="pgmres",
+                              tol=1e-6, maxiter=240, record=record,
+                              x0=x, t_start=t0_c)
+    logs.append(solver.record_log)
+    kits.append(np.asarray(solver.krylov_iters))
+    rels.append(np.asarray(solver.krylov_relres))
+wall = time.time() - t0
+Fx, Fy, dP = (np.concatenate([lg[i] for lg in logs]) for i in range(3))
 times = (np.arange(n_steps) + 1) * dt
-kit = np.asarray(solver.krylov_iters)
-rel = np.asarray(solver.krylov_relres)
+kit = np.concatenate(kits)
+rel = np.concatenate(rels)
 print(f"{nx}x{ny}, {n_steps} steps: {wall:.1f} s wall "
       f"({wall / n_steps * 1e3:.1f} ms/step incl compile), "
-      f"BiCGStab {kit.mean():.1f} it/step (max {kit.max()}), "
+      f"GMRES {kit.mean():.1f} it/step (max {kit.max()}), "
       f"relres max {rel.max():.1e}")
 
 scale = 0.5 * rho * Ubar**2 * D

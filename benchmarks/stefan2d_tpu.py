@@ -46,6 +46,7 @@ def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
     solver = StefanMono2D(phase, bc_b, pt.Dirichlet(0.0), dt,
                           (Tw0, jnp.zeros(mesh.np_shape, dtype)), mesh, "BE")
 
+    mk0 = front.markers
     t0w = time.time()
     solver.solve(front, 0.0, 1.5 * dt, ic, newton_params=(8, 1e-4, 1e-6, 1.0),
                  interior_fluid=False, method="auto", jac=jac, p=4, s=1)
@@ -54,16 +55,17 @@ def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
     print(f"[jac={jac}] grid {n}x{n}, {nm} markers, "
           f"{len(solver.iters_log)} steps, {iters} GN iterations")
     print(f"total {wall:.2f}s (incl. trace + compile)")
-    # steady-state timing: a long run amortizes the per-solve trace cost
-    # (solve() retraces its jitted scan per call; production runs are one
-    # long solve, so per-GN device time is the honest metric)
+    # steady-state timing: warm + timed calls run the IDENTICAL problem
+    # (front reset between calls) so the second call hits the solver's
+    # compiled-loop cache — pure device time.  (Letting the front evolve
+    # between calls can bump the auto band budget across a power-of-two
+    # boundary and silently charge a full re-trace to the timed call.)
     n_steps = 20
+    front.markers = mk0
     solver.solve(front, 0.0, (n_steps + 0.5) * dt,
                  ic, newton_params=(8, 1e-4, 1e-6, 1.0),
                  interior_fluid=False, method="auto", jac=jac, p=4, s=1)
-    # second identical call hits the solver's compiled-loop cache: pure
-    # device time (production = one long solve, so this is the honest
-    # steady-state metric)
+    front.markers = mk0
     t0w = time.time()
     solver.solve(front, 0.0, (n_steps + 0.5) * dt,
                  ic, newton_params=(8, 1e-4, 1e-6, 1.0),
