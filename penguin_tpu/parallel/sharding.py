@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_grid_mesh", "grid_sharding", "shard_pytree", "padded_mesh",
            "dryrun_heat_multichip", "dryrun_stokes_multichip",
-           "dryrun_moving_multichip"]
+           "dryrun_moving_multichip", "dryrun_stefan_multichip"]
 
 
 def _factor2(n):
@@ -231,3 +231,99 @@ def dryrun_moving_multichip(n_devices, grid=(30, 30)):
     err = max(float(jnp.abs(a - b).max()) for a, b in zip(out, x_ref))
     assert err < 1e-8, f"sharded vs single-device moving step mismatch: {err}"
     return out
+
+
+def dryrun_stefan_multichip(n_devices, grid=(32, 32), nm=32,
+                            check_hlo=True):
+    """The FLAGSHIP under SPMD: one full Stefan front-tracking time step —
+    marker polyline SDF -> narrow slab capacity rebuild -> GN/LM iteration
+    (slab temperature solve, interface flux, intercept volume Jacobian,
+    damped normal equations) -> marker move — with the temperature grids
+    sharded over the ('x','y') device mesh and the marker array replicated.
+
+    Verifies (a) sharded == unsharded end state (temperature AND markers),
+    and (b) the compiled HLO contains NO all-gather materializing a
+    grid-sized array: the grid stays decomposed through the GN loop (halo
+    exchanges + psum reductions only); the only legitimately replicated
+    objects are O(n_markers) — the marker array, the (nm, nm) normal
+    equations, and the per-marker Jacobian contractions."""
+    import re
+
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu.front_tracking import FrontTracker
+    from penguin_tpu.solvers.stefan2d import StefanMono2D
+
+    dev_mesh = make_grid_mesh(n_devices)
+    nx, ny = grid
+    L = 8.0
+    center = (4.0, 4.0)
+    mesh = padded_mesh(dev_mesh, (nx, ny), (L, L), (0.0, 0.0))
+    dt = 0.02
+    R0 = 1.5
+    T_inf = -0.5
+
+    def setup():
+        front = FrontTracker().create_circle(center, R0, n=nm)
+        cap0 = pt.compute_capacity(
+            lambda x, y: -front.sdf(x, y), mesh, p=4, s=1)
+        ops0 = pt.make_diffusion_ops(cap0)
+        C = np.asarray(cap0.C_om)
+        r = np.sqrt((C[..., 0] - center[0]) ** 2
+                    + (C[..., 1] - center[1]) ** 2)
+        Tw0 = jnp.asarray(np.where(r >= R0, T_inf * (1 - R0 / np.maximum(r, R0)),
+                                   0.0))
+        Tg0 = jnp.zeros(mesh.np_shape)
+        bc_b = pt.BorderConditions(
+            {k: pt.Dirichlet(T_inf)
+             for k in ("left", "right", "top", "bottom")})
+        phase = pt.Phase(cap0, ops0, lambda x, y, z, t: 0.0, 1.0)
+        ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                    pt.FluxJump(1.0, 1.0, 1.0))
+        solver = StefanMono2D(phase, bc_b, pt.Dirichlet(0.0), dt,
+                              (Tw0, Tg0), mesh, "BE")
+        return solver, front, ic, (Tw0, Tg0)
+
+    kw = dict(newton_params=(6, 1e-8, 1e-8, 1.0), interior_fluid=False,
+              method="bicgstab", jac="intercept", band_budget=None)
+
+    # single-device reference
+    solver_ref, front_ref, ic, u0 = setup()
+    solver_ref.solve(front_ref, 0.0, dt / 2, ic, **kw)
+    T_ref, mk_ref = solver_ref.x, solver_ref.markers
+
+    # sharded run: grid fields over the device mesh, markers replicated
+    sharding = grid_sharding(dev_mesh)
+    repl = NamedSharding(dev_mesh, P(None, None))
+    solver_sh, front_sh, ic2, _ = setup()
+    solver_sh.u0 = tuple(jax.device_put(f, sharding) for f in solver_sh.u0)
+    front_sh.markers = jax.device_put(front_sh.markers, repl)
+    solver_sh.solve(front_sh, 0.0, dt / 2, ic2, **kw)
+    T_sh, mk_sh = solver_sh.x, solver_sh.markers
+
+    err_T = max(float(jnp.abs(a - b).max()) for a, b in zip(T_sh, T_ref))
+    err_mk = float(jnp.abs(mk_sh - mk_ref).max())
+    assert err_T < 1e-6, f"sharded vs single-device Stefan T mismatch: {err_T}"
+    assert err_mk < 1e-8, f"sharded vs single-device marker mismatch: {err_mk}"
+
+    if check_hlo:
+        # the compiled SPMD module must not all-gather any grid-sized
+        # array: each all-gather's result element count must stay below
+        # the full DOF grid (halo exchanges are collective-permutes;
+        # Krylov/Jacobian reductions are all-reduces)
+        run = solver_sh._run_cache
+        txt = run.lower(solver_sh.u0, front_sh.markers).compile().as_text()
+        ncells = int(np.prod(mesh.np_shape))
+        offenders = []
+        for m in re.finditer(r"(\S+)\s*=\s*\S*\s*all-gather\(", txt):
+            line = txt[m.start():txt.find("\n", m.start())]
+            shapes = re.findall(r"[a-z0-9]+\[([0-9,]+)\]", line.split("=")[0])
+            for sh in shapes:
+                n_el = int(np.prod([int(v) for v in sh.split(",") if v]))
+                if n_el >= ncells:
+                    offenders.append(line.strip()[:160])
+        assert not offenders, (
+            "grid-sized all-gather(s) in the compiled Stefan step:\n"
+            + "\n".join(offenders))
+    return T_sh, mk_sh

@@ -65,3 +65,13 @@ def test_padded_mesh_physics_unchanged():
     T1 = make((1, 1))
     T2 = make((3, 2))
     assert float(jnp.abs(T1 - T2).max()) < 1e-10
+
+
+def test_dryrun_stefan_multichip():
+    """The FLAGSHIP sharded: one Stefan front-tracking GN step (marker SDF
+    -> slab capacity -> LM solve -> marker move) with grid fields sharded
+    over the 8-device mesh and markers replicated; sharded == unsharded and
+    the compiled HLO contains no grid-sized all-gather."""
+    from penguin_tpu.parallel.sharding import dryrun_stefan_multichip
+
+    dryrun_stefan_multichip(8, grid=(32, 32), nm=32)
