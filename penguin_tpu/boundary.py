@@ -102,10 +102,21 @@ class FluxJump:
 class BorderConditions:
     """Dict keyed by :left/:right/:top/:bottom/:forward/:backward.
 
-    NOTE on key semantics (kept for parity with the reference,
-    src/solver.jl:379-409): in 2D 'left'/'right' select the *second* axis
-    (y) extremes and 'bottom'/'top' the *first* axis (x); in 1D
-    'bottom'/'top' are the two ends; 'backward'/'forward' the third axis.
+    NOTE on key semantics — the two solver families inherit the
+    reference's two *different* conventions:
+
+    * SCALAR solvers (diffusion/advdiff/Darcy/Stefan; parity with
+      src/solver.jl:379-409): in 2D 'left'/'right' select the *second*
+      axis (y) extremes and 'bottom'/'top' the *first* axis (x); in 1D
+      'bottom'/'top' are the two ends; 'backward'/'forward' the third
+      axis.
+    * STOKES/NAVIER-STOKES velocity borders (parity with the reference's
+      staggered examples): 'left'/'right' are the *first* axis (x) ends
+      and 'bottom'/'top' the second (y) — the everyday reading.
+
+    For scalar problems driven along x (channels, head drops), put the
+    inlet/outlet data on 'bottom'/'top'; see examples/2D/graetz_channel.py
+    and examples/2D/darcy_unsteady.py.
     """
 
     borders: tuple  # tuple of (key, condition) pairs

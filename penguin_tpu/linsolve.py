@@ -387,13 +387,19 @@ class KrylovSolver:
                              maxiter=self.maxiter or 2000,
                              restart=self.restart)
             return x
-        kw = dict(tol=self.tol, atol=self.atol, maxiter=self.maxiter, M=self.M)
-        if self.method == "cg":
-            x, _ = cg(self.apply_fn, b, x0=x0, **kw)
-        elif self.method == "bicgstab":
-            x, _ = bicgstab(self.apply_fn, b, x0=x0, **kw)
+        if x0 is None:
+            x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+        if self.method in ("cg", "pcg"):
+            # in-house pytree CG: jax.scipy's cg NaNs on rho-breakdown
+            x, _, _ = pcg(self.apply_fn, b, x0, Minv=self.M, tol=self.tol,
+                          maxiter=self.maxiter or 2000)
+        elif self.method in ("bicgstab", "pbicgstab"):
+            x, _, _ = pbicgstab(self.apply_fn, b, x0, Minv=self.M,
+                                tol=self.tol, maxiter=self.maxiter or 2000)
         elif self.method == "gmres":
-            x, _ = gmres(self.apply_fn, b, x0=x0, solve_method="batched", **kw)
+            x, _ = gmres(self.apply_fn, b, x0=x0, solve_method="batched",
+                         tol=self.tol, atol=self.atol, maxiter=self.maxiter,
+                         M=self.M)
         else:
             raise ValueError(f"unknown Krylov method {self.method}")
         return x

@@ -131,6 +131,8 @@ class DiffusionUnsteadyMono(_ScalarSolverBase):
         self._rhs = mono_rhs_fn(ops, Id, cap.Gamma, ia, ib, cap, phase.source,
                                 bc_i, dt=self.dt, scheme=scheme, border=border,
                                 masks=masks)
+        self._diag = mono_diag_fn(ops, Id, cap.Gamma, ia, ib, dt=self.dt,
+                                  scheme=scheme, border=border, masks=masks)
 
     def solve(self, t_end, method="auto", tol=1e-12, maxiter=None,
               keep_states=True, t_start=0.0, initial_solve=True):
@@ -151,8 +153,20 @@ class DiffusionUnsteadyMono(_ScalarSolverBase):
                 b = self._rhs(x, t)
                 return factor.solve(b)
         else:
+            # Jacobi preconditioning: the unsteady rows mix V/dt-scaled bulk
+            # with O(1) border/interface surgery rows — unpreconditioned
+            # cg/bicgstab diverge once an inhomogeneous border makes the
+            # solve nontrivial (pgmres equilibrates internally)
+            M = None
+            if method in ("cg", "bicgstab", "gmres"):
+                dinv = jax.tree_util.tree_map(lambda d: 1.0 / d, self._diag)
+
+                def M(r):
+                    return jax.tree_util.tree_map(lambda a, b_: a * b_,
+                                                  r, dinv)
+
             solver = KrylovSolver(self.apply, method=method, tol=tol,
-                                  maxiter=maxiter, template=self.u0)
+                                  maxiter=maxiter, M=M, template=self.u0)
 
             def step(x, t):
                 b = self._rhs(x, t)

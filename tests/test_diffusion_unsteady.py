@@ -96,3 +96,29 @@ def test_diphasic_order_cn():
     assert 0.9 < o1 < 2.2
     assert 0.9 < o2 < 2.2
     assert 0.9 < oc < 2.2
+
+
+def test_inhomogeneous_border_krylov_matches_direct():
+    """bicgstab/cg on the unsteady mono system with a NON-zero border
+    Dirichlet: jax.scipy's unpreconditioned bicgstab NaN'd on rho-breakdown
+    here (the homogeneous cases never stressed it because b=0); the
+    in-house preconditioned pytree Krylov must match the dense solve."""
+    mesh = pt.Mesh((16, 16), (1.0, 1.0), (0.0, 0.0))
+    cap = pt.compute_capacity(pt.geometry.full_domain(2), mesh)
+    ops = pt.make_diffusion_ops(cap)
+    phase = pt.Phase(cap, ops, lambda x, y, z, t: 0.0, 0.5)
+    bc_b = pt.BorderConditions({
+        "left": pt.Dirichlet(1.0), "right": pt.Dirichlet(0.0),
+        "bottom": pt.Dirichlet(0.0), "top": pt.Dirichlet(0.0)})
+    z = jnp.zeros(mesh.np_shape)
+
+    def run(method):
+        s = DiffusionUnsteadyMono(phase, bc_b, pt.Dirichlet(0.0), 2e-3,
+                                  (z, z), "BE")
+        s.solve(0.02, method=method, tol=1e-12)
+        return np.asarray(s.x_omega)
+
+    p_direct = run("direct")
+    p_bicg = run("bicgstab")
+    assert np.isfinite(p_bicg).all()
+    np.testing.assert_allclose(p_bicg, p_direct, atol=1e-8)
