@@ -1,0 +1,101 @@
+"""DFG 2D-1 STEADY benchmark (Schaefer & Turek 1996): laminar flow around
+a cylinder at Re=20 with published drag/lift/pressure-drop ranges —
+the quantitative steady companion of benchmarks/dfg_cylinder_shedding.py
+(mirrors /root/reference/benchmark/navierstokes/flow_around_circle_cd_cl.jl
+geometry; the reference script only runs the unsteady case).
+
+Geometry: channel 2.2 x 0.41, cylinder r=0.05 at (0.2, 0.2); parabolic
+inflow with Umax = 0.3 -> Ubar = 0.2, nu = 1e-3 -> Re = Ubar D / nu = 20.
+Published ranges: Cd in [5.5700, 5.5900], Cl in [0.0104, 0.0110],
+dP in [0.1172, 0.1176].  Gates allow for the cut-cell first-order rim at
+the benchmark grid (R/dx ~ 5.8 at 256x128): Cd within 10%, Cl sign+order,
+dP within 15%.
+
+Run (TPU):  python benchmarks/dfg_cylinder_steady.py [--coarse]
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.navierstokes import NavierStokesMono
+from penguin_tpu.solvers.stokes import PinPressureGauge
+
+coarse = "--coarse" in _sys.argv
+nx, ny = (128, 64) if coarse else (256, 128)
+Lx, Ly = 2.2, 0.41
+R, cx, cy = 0.05, 0.2, 0.2
+D = 2 * R
+Umax, Ubar = 0.3, 0.2
+rho, nu = 1.0, 1e-3
+
+dx = Lx / nx
+mesh_p = pt.Mesh((nx, ny), (Lx, Ly), (0.0, 0.0))
+mesh_ux = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, 0.0))
+mesh_uy = pt.Mesh((nx, ny), (Lx, Ly), (0.0, -0.5 * (Ly / ny)))
+body = pt.geometry.complement(pt.geometry.circle((cx, cy), R))
+caps = [pt.compute_capacity(body, m, p=4, s=1, dtype=jnp.float32)
+        for m in (mesh_ux, mesh_uy, mesh_p)]
+fluid = pt.Fluid(
+    mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+    capacity_u=(caps[0], caps[1]),
+    operator_u=(pt.make_diffusion_ops(caps[0]), pt.make_diffusion_ops(caps[1])),
+    capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+    mu=rho * nu, rho=rho,
+    f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+)
+
+
+def inflow(x, y, z=0.0, t=None):
+    xi = y / Ly
+    return Umax * 4.0 * xi * (1.0 - xi)
+
+
+noslip = pt.Dirichlet(0.0)
+bc_ux = pt.BorderConditions({"left": pt.Dirichlet(inflow),
+                             "right": pt.Outflow(),
+                             "bottom": noslip, "top": noslip})
+bc_uy = pt.BorderConditions({"left": noslip, "right": noslip,
+                             "bottom": noslip, "top": noslip})
+solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                          pt.Dirichlet(0.0))
+
+t0 = time.time()
+solver.solve_steady_newton_krylov(max_iter=25, tol=1e-10, lin_maxiter=800)
+wall = time.time() - t0
+print(f"{nx}x{ny} steady JFNK: {wall:.1f} s, residuals "
+      + " ".join("%.1e" % r for r in solver.residual_history))
+
+fx, fy = solver.interface_force()
+fx, fy = -fx, -fy
+scale = 0.5 * rho * Ubar**2 * D
+Cd, Cl = fx / scale, fy / scale
+
+# front/back pressure probes (DFG points A/B)
+pc = np.asarray(caps[2].C_om)
+act = np.asarray(solver.p_active)
+
+
+def probe(pt_xy):
+    d2 = (pc[..., 0] - pt_xy[0]) ** 2 + (pc[..., 1] - pt_xy[1]) ** 2
+    d2 = np.where(act, d2, np.inf)
+    return np.unravel_index(np.argmin(d2), d2.shape)
+
+
+p = np.asarray(solver.x[2 * solver.N])
+dP = p[probe((0.25, 0.2))] - p[probe((0.15, 0.2))]  # state p = -p_phys
+
+print(f"Cd = {Cd:.4f}   (DFG 2D-1: 5.5700-5.5900)")
+print(f"Cl = {Cl:+.5f}  (DFG 2D-1: 0.0104-0.0110)")
+print(f"dP = {dP:.4f}   (DFG 2D-1: 0.1172-0.1176)")
+assert np.isfinite([Cd, Cl, dP]).all()
+if not coarse:
+    assert abs(Cd - 5.58) < 0.56, Cd      # 10%
+    assert 0.0 < Cl < 0.05, Cl            # sign + order (Cl is tiny)
+    assert abs(dP - 0.1174) < 0.018, dP   # 15%
+print("OK")

@@ -38,9 +38,12 @@ mom = NavierStokesMono(fluid, (bc0, bc0), PinPressureGauge(), pt.Dirichlet(0.0))
 
 cap_T = caps[2]
 ops_T = pt.make_diffusion_ops(cap_T)
+# scalar border keys follow the reference's classification
+# (solver.jl:379-409): "bottom"/"top" = x-min/x-max planes -> hot vertical
+# wall at x=0, cold at x=1, adiabatic floor/ceiling
 bc_T = pt.BorderConditions({
-    "left": pt.Dirichlet(1.0), "right": pt.Dirichlet(0.0),
-    "bottom": pt.Neumann(0.0), "top": pt.Neumann(0.0),
+    "bottom": pt.Dirichlet(1.0), "top": pt.Dirichlet(0.0),
+    "left": pt.Neumann(0.0), "right": pt.Neumann(0.0),
 })
 C = np.asarray(cap_T.C_om)
 T0w = jnp.asarray(np.clip(1.0 - C[..., 0], 0.0, 1.0) * (np.asarray(cap_T.V) > 0))

@@ -1,0 +1,94 @@
+"""Differentially heated cavity with MONOLITHIC (u, p, T) coupling —
+reference examples/2D/NavierStokesCoupled/monolithic_differential_cavity.jl.
+
+Same Boussinesq physics as examples/2D/buoyant_cavity.py (which uses the
+Picard strategy); here each time step solves the fully coupled nonlinear
+system by Newton with the exact autodiff Jacobian (the reference assembles
+it by hand, navierstokes_scalar_coupling.jl:29-44).  Asserts the buoyant
+circulation (updraft at the hot wall, downdraft at the cold wall) and that
+monolithic and Picard agree on the coarse-step solution.
+
+Run:  python examples/2D/coupled_cavity_monolithic.py
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.navierstokes import NavierStokesMono
+from penguin_tpu.solvers.ns_scalar import (MonolithicCoupling,
+                                           NavierStokesScalarCoupler,
+                                           PicardCoupling)
+from penguin_tpu.solvers.stokes import PinPressureGauge
+
+n, L = 16, 1.0
+
+
+def build():
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1e-2, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    noslip = pt.Dirichlet(0.0)
+    bc0 = pt.BorderConditions(
+        {k: noslip for k in ("left", "right", "bottom", "top")})
+    mom = NavierStokesMono(fluid, (bc0, bc0), PinPressureGauge(),
+                           pt.Dirichlet(0.0))
+    cap_T = caps[2]
+    # scalar border keys follow the reference's classification
+    # (solver.jl:379-409): "bottom"/"top" = x-min/x-max planes -> hot
+    # vertical wall at x=0, cold at x=1, adiabatic floor/ceiling
+    bc_T = pt.BorderConditions({
+        "bottom": pt.Dirichlet(1.0), "top": pt.Dirichlet(0.0),
+        "left": pt.Neumann(0.0), "right": pt.Neumann(0.0),
+    })
+    C = np.asarray(cap_T.C_om)
+    T0w = jnp.asarray(np.clip(1.0 - C[..., 0], 0.0, 1.0)
+                      * (np.asarray(cap_T.V) > 0))
+    return mom, cap_T, bc_T, T0w
+
+
+def run(strategy):
+    mom, cap_T, bc_T, T0w = build()
+    coupler = NavierStokesScalarCoupler(
+        mom, cap_T, pt.make_diffusion_ops(cap_T), kappa=1e-2,
+        scalar_source=lambda x, y, z, t: 0.0,
+        bc_scalar=bc_T, bc_scalar_cut=pt.Dirichlet(0.0),
+        strategy=strategy, beta=10.0, gravity=(0.0, -1.0),
+        T_ref=0.5, T0=(T0w, T0w),
+    )
+    coupler.run(dt=0.01, t_end=0.04)
+    return (np.asarray(coupler.x[2]), np.asarray(coupler.T[0]))
+
+
+uy_m, T_m = run(MonolithicCoupling(tol=1e-10, maxiter=10))
+uy_p, T_p = run(PicardCoupling(tol_T=1e-10, tol_U=1e-10, maxiter=12))
+
+hot = uy_m[1:4, 1:n - 1].mean()
+cold = uy_m[n - 4:n - 1, 1:n - 1].mean()
+print(f"monolithic: hot-wall updraft {hot:+.5f}, "
+      f"cold-wall downdraft {cold:+.5f}")
+assert np.isfinite(uy_m).all() and np.isfinite(T_m).all()
+assert hot > 0 > cold
+
+d_uy = np.abs(uy_m - uy_p).max() / max(np.abs(uy_m).max(), 1e-12)
+d_T = np.abs(T_m - T_p).max()
+print(f"monolithic vs converged Picard: rel max |d uy| = {d_uy:.2e}, "
+      f"max |dT| = {d_T:.2e}")
+assert d_uy < 5e-2 and d_T < 5e-3  # same fixed point, different iteration
+print("monolithic coupled cavity OK")

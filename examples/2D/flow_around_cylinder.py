@@ -50,13 +50,19 @@ print("Newton residual history:",
 fx, fy = solver.interface_force()
 fx, fy = -fx, -fy  # force on the body
 cd = 2 * fx / (1.0 * U**2 * 2 * R)
+# mesh-converged value for THIS confined configuration (64x32 -> 256x128
+# JFNK sweep: 3.3535 / 3.3465 / 3.3259): Cd ~ 3.33.  The unconfined
+# literature value is ~2.0; the 20% blockage with free-stream side walls
+# raises it.  Published-range validation lives in
+# benchmarks/dfg_cylinder_steady.py (DFG 2D-1) and
+# benchmarks/dfg_cylinder_shedding.py (DFG 2D-2).
 print(f"Re=20 cylinder: body drag {fx:+.4f} -> Cd = {cd:.2f} "
-      f"(literature ~2.0; coarse 64x32 grid), lift {fy:+.4f}")
+      f"(mesh-converged 3.33 for this confined setup), lift {fy:+.4f}")
 ux = np.asarray(solver.velocity(0))
 wake = float(ux[int((cx + 2.0 * R) / d), int(cy / (Ly / ny))])
 print(f"wake centerline velocity just behind the body: {wake:.3f} "
       f"(deficit vs U={U})")
 assert np.isfinite(ux).all()
 assert fx > 0 and abs(fy) < 0.35 * fx
-assert 1.0 < cd < 3.0
+assert abs(cd - 3.33) < 0.25  # +-7.5% of the converged value
 assert wake < 0.8 * U

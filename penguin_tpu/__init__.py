@@ -48,8 +48,10 @@ from .phase import Phase, Fluid
 from .checkpoint import (checkpoint_solver, load_checkpoint, restore_solver,
                          save_checkpoint)
 from .convergence import check_convergence, check_convergence_diph, lp_norm
+from .utils import clamp_merge_small_cells
 
 __all__ = [
+    "clamp_merge_small_cells",
     "Mesh",
     "SpaceTimeMesh",
     "geometry",

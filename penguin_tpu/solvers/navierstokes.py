@@ -59,7 +59,10 @@ class NavierStokesMono(StokesMono):
                     sl = [slice(None)] * len(shape)
                     sl[axis] = self.fluid.mesh_u[c].n[axis] - 1
                     m[tuple(sl)] = True
-                    items.append((axis, jnp.asarray(m)))
+                    # cache the NUMPY mask: this getter can first run inside
+                    # a jit trace, and a jnp constant created there leaks
+                    # that trace's tracer into later traces via the cache
+                    items.append((axis, m))
                 masks.append(tuple(items))
             self._conv_out_masks = masks
         return masks[d]

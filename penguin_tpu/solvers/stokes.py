@@ -338,12 +338,15 @@ class StokesMono:
                         break
                 if not m.any():
                     continue
+                # Outflow(pressure=...) prescribes the PHYSICAL pressure;
+                # the state stores -p_physical (hydrostatic balance test:
+                # dp_state = -h f), so the plane rows pin -value.
                 val = cond.pressure
                 if callable(val):
-                    v = np.asarray(eval_condition_value(
+                    v = -np.asarray(eval_condition_value(
                         val, [jnp.asarray(q) for q in pos_p]))
                 elif val is not None:
-                    v = float(val) * np.ones(p_shape)
+                    v = -float(val) * np.ones(p_shape)
                 else:
                     v = np.zeros(p_shape)
                 out_vals = np.where(m, v, out_vals)

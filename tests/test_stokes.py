@@ -334,10 +334,11 @@ def test_outflow_prescribed_pressure_sets_level():
         assert du < 1e-8, du
     p = np.asarray(s_ref.pressure)
     # prescribed level imposed on every cell of the outflow plane (the
-    # plane closure that makes the open system nonsingular)
+    # plane closure that makes the open system nonsingular); the state
+    # stores -p_physical, so the pinned rows read -p_ref
     pin = np.asarray(s_ref.outflow_p_mask)
     assert pin.sum() >= n - 2, pin.sum()
-    np.testing.assert_allclose(p[pin], p_ref, atol=1e-9)
+    np.testing.assert_allclose(p[pin], -p_ref, atol=1e-9)
     # active pressure fields agree up to the constant level shift (orphan
     # cells are identity rows = 0 in both runs)
     act = np.asarray(s_ref.p_active)
