@@ -98,6 +98,142 @@ def _kernel(cc_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref, x_hbm, y_ref,
     )
 
 
+def _kernel3(cc_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref, czm_ref, czp_ref,
+             x_hbm, y_ref, xtile, xum, xdp, yum, ydp, sems,
+             *, tile_x, tile_y, x_total, y_total):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    p0 = i * tile_x
+    q0 = pl.multiple_of(j * tile_y, 8)
+
+    cp0 = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(p0, tile_x), pl.ds(q0, tile_y)], xtile, sems.at[0]
+    )
+    cp0.start()
+    # x-halos: axis 0 is untiled (neither sublane nor lane), so
+    # single-plane slices need no alignment games — boundary tiles read a
+    # clamped neighbour plane, zeroed by the gl masks below.
+    cp1 = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(jnp.maximum(p0 - 1, 0), 1), pl.ds(q0, tile_y)],
+        xum, sems.at[1]
+    )
+    cp1.start()
+    cp2 = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(jnp.minimum(p0 + tile_x, x_total - 1), 1),
+                 pl.ds(q0, tile_y)],
+        xdp, sems.at[2]
+    )
+    cp2.start()
+    # y-halos: axis 1 is the sublane dim, so 8-row aligned stripes (the
+    # 2D kernel's trick) — the needed neighbour row sits at static local
+    # index 7 (up) / 0 (down); boundary garbage is masked via gy below.
+    cp3 = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(p0, tile_x),
+                 pl.ds(pl.multiple_of(jnp.maximum(q0 - 8, 0), 8), 8)],
+        yum, sems.at[3]
+    )
+    cp3.start()
+    cp4 = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(p0, tile_x),
+                 pl.ds(pl.multiple_of(
+                     jnp.minimum(q0 + tile_y, y_total - 8), 8), 8)],
+        ydp, sems.at[4]
+    )
+    cp4.start()
+    cp0.wait()
+    cp1.wait()
+    cp2.wait()
+    cp3.wait()
+    cp4.wait()
+
+    xc = xtile[...]
+    tx, ty, nz = xc.shape
+    ids_x = jax.lax.broadcasted_iota(jnp.int32, xc.shape, 0)
+    ids_y = jax.lax.broadcasted_iota(jnp.int32, xc.shape, 1)
+    ids_z = jax.lax.broadcasted_iota(jnp.int32, xc.shape, 2)
+    gx = ids_x + p0
+    gy = ids_y + q0
+
+    xm = pltpu.roll(xc, 1, 0)
+    xm = jnp.where(ids_x == 0, xum[...], xm)
+    xm = jnp.where(gx >= 1, xm, 0.0)
+    xp = pltpu.roll(xc, tx - 1, 0)
+    xp = jnp.where(ids_x == tx - 1, xdp[...], xp)
+    xp = jnp.where(gx <= x_total - 2, xp, 0.0)
+
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (tx, 8, nz), 1)
+    yum_vec = jnp.sum(jnp.where(iota8 == 7, yum[...], 0.0), axis=1,
+                      keepdims=True)
+    ydp_vec = jnp.sum(jnp.where(iota8 == 0, ydp[...], 0.0), axis=1,
+                      keepdims=True)
+    ym = pltpu.roll(xc, 1, 1)
+    ym = jnp.where(ids_y == 0, yum_vec, ym)
+    ym = jnp.where(gy >= 1, ym, 0.0)
+    yp = pltpu.roll(xc, ty - 1, 1)
+    yp = jnp.where(ids_y == ty - 1, ydp_vec, yp)
+    yp = jnp.where(gy <= y_total - 2, yp, 0.0)
+
+    zm = pltpu.roll(xc, 1, 2)
+    zm = jnp.where(ids_z >= 1, zm, 0.0)
+    zp = pltpu.roll(xc, nz - 1, 2)
+    zp = jnp.where(ids_z <= nz - 2, zp, 0.0)
+
+    y_ref[...] = (
+        cc_ref[...] * xc
+        + cxm_ref[...] * xm + cxp_ref[...] * xp
+        + cym_ref[...] * ym + cyp_ref[...] * yp
+        + czm_ref[...] * zm + czp_ref[...] * zp
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_x", "tile_y"))
+def stencil7_matvec(cc, cxm, cxp, cym, cyp, czm, czp, x, tile_x=8,
+                    tile_y=None):
+    """Fused 7-point variable-coefficient stencil apply (TPU Pallas, 3D).
+
+        y[i,j,k] = cc x[i,j,k] + cxm x[i-1,j,k] + cxp x[i+1,j,k]
+                 + cym x[i,j-1,k] + cyp x[i,j+1,k]
+                 + czm x[i,j,k-1] + czp x[i,j,k+1]
+
+    Same design as the 2D kernel: a (x-planes × y-stripes) grid;
+    coefficients stream through VMEM (tiling BOTH x and y keeps the
+    working set under the ~16 MB scoped-VMEM limit at 256³+), ``x`` stays
+    in HBM and each program DMAs its tile plus two single-plane x-halos
+    and two 8-row-aligned y-halo stripes.  (NY, NZ) map to
+    (sublane, lane): NY % tile_y == 0 (tile_y % 8 == 0), NZ % 128 == 0,
+    NX % tile_x == 0.
+    """
+    NX, NY, NZ = x.shape
+    if tile_y is None:
+        tile_y = min(64, NY)
+    if NX % tile_x or NY % tile_y or tile_y % 8 or NZ % 128:
+        raise ValueError(
+            f"stencil7_matvec needs NX % {tile_x} == 0, NY % {tile_y} == 0 "
+            f"(tile_y % 8 == 0) and NZ % 128 == 0; got {x.shape} — pad the "
+            f"arrays once at setup"
+        )
+    grid = (NX // tile_x, NY // tile_y)
+    spec = pl.BlockSpec((tile_x, tile_y, NZ), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel3, tile_x=tile_x, tile_y=tile_y,
+                               x_total=NX, y_total=NY)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec] * 7 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NX, NY, NZ), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_x, tile_y, NZ), x.dtype),
+            pltpu.VMEM((1, tile_y, NZ), x.dtype),
+            pltpu.VMEM((1, tile_y, NZ), x.dtype),
+            pltpu.VMEM((tile_x, 8, NZ), x.dtype),
+            pltpu.VMEM((tile_x, 8, NZ), x.dtype),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )(cc, cxm, cxp, cym, cyp, czm, czp, x)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_m",))
 def stencil5_matvec(cc, cxm, cxp, cym, cyp, x, tile_m=128):
     """Fused 5-point variable-coefficient stencil apply (TPU Pallas)."""

@@ -104,21 +104,27 @@ class FastHeatBE:
         # padded once here to the kernel's tile alignment; padded slots are
         # identity rows (c=1, off-diag 0) so the CG state there stays 0.
         from ..pallas_kernels.stencil import stencil5_available, \
-            stencil5_matvec
+            stencil5_matvec, stencil7_matvec
 
         if use_pallas is None:
             # auto-dispatch only when tile padding is cheap: the kernel is
-            # ~12% faster per element than XLA's fusion, so padding that
-            # adds more than ~8% elements makes it a net loss (measured:
-            # 1025² -> 1088×1152 pad = +19% elements = 6% slower overall).
-            use_pallas = ndim == 2 and stencil5_available()
-            if use_pallas:
+            # ~12% faster per element than XLA's fusion in 2D (~1.6x in the
+            # 3D HBM-streaming regime), so padding that adds more than ~8%
+            # elements makes it a net loss (measured: 1025² -> 1088×1152
+            # pad = +19% elements = 6% slower overall).
+            use_pallas = ndim in (2, 3) and stencil5_available()
+            if use_pallas and ndim == 2:
                 M0, N0 = V.shape
                 Mp0 = -(-M0 // 64) * 64
                 Np0 = -(-N0 // 128) * 128
                 use_pallas = (Mp0 * Np0) <= 1.08 * (M0 * N0)
-        self.use_pallas = bool(use_pallas and ndim == 2)
-        if self.use_pallas:
+            elif use_pallas:
+                X0, Y0, Z0 = V.shape
+                padded_n = (-(-X0 // 8) * 8) * (-(-Y0 // 8) * 8) \
+                    * (-(-Z0 // 128) * 128)
+                use_pallas = padded_n <= 1.08 * (X0 * Y0 * Z0)
+        self.use_pallas = bool(use_pallas and ndim in (2, 3))
+        if self.use_pallas and ndim == 2:
             M, Np = V.shape
             tile_m = 64
             Mp = -(-M // tile_m) * tile_m
@@ -139,6 +145,28 @@ class FastHeatBE:
             self._matvec_inner = matvec_pl
             self._pad = padded
             self._crop = lambda a: a[:M, :Np]
+        elif self.use_pallas:
+            X, Y, Z = V.shape
+            tile_x = 8
+            Xp = -(-X // tile_x) * tile_x
+            Yp = -(-Y // 8) * 8
+            Zp = -(-Z // 128) * 128
+            self._pad3 = ((0, Xp - X), (0, Yp - Y), (0, Zp - Z))
+
+            def padded(a, const=0.0):
+                return jnp.pad(a, self._pad3, constant_values=const)
+
+            ccp = padded(c_c, 1.0)
+            cms = [padded(c) for c in c_m]
+            cps = [padded(c) for c in c_p]
+
+            def matvec_pl(xp):
+                return stencil7_matvec(ccp, cms[0], cps[0], cms[1], cps[1],
+                                       cms[2], cps[2], xp, tile_x=tile_x)
+
+            self._matvec_inner = matvec_pl
+            self._pad = padded
+            self._crop = lambda a: a[:X, :Y, :Z]
         else:
             self._matvec_inner = matvec
             self._pad = lambda a, const=0.0: a

@@ -66,3 +66,34 @@ def test_f32_matches_f64_heat():
     a = results["<class 'jax.numpy.float64'>"]
     b = results["<class 'jax.numpy.float32'>"]
     assert np.abs(a - b).max() < 5e-4, np.abs(a - b).max()
+
+
+def test_fast_heat_3d_matches_general():
+    """The 3D stencil collapse (and, on TPU, the 7-point Pallas kernel —
+    exercised separately by benchmarks/stencil_roofline.py; under pytest
+    this runs the XLA path on CPU) must reproduce the general solver."""
+    n = (12, 10, 14)
+    mesh = pt.Mesh(n, (2.0, 2.0, 2.0), (0.0, 0.0, 0.0))
+    body = pt.geometry.sphere((1.0, 1.0, 1.0), 0.7)
+    cap = pt.compute_capacity(body, mesh)
+    ops = pt.make_diffusion_ops(cap)
+    bc = pt.Dirichlet(1.0)
+    bc0 = pt.Dirichlet(0.0)
+    bc_b = pt.BorderConditions({k: bc0 for k in
+                                ("left", "right", "top", "bottom",
+                                 "front", "back")})
+    f = lambda x, y, z, t: 0.0
+    phase = pt.Phase(cap, ops, f, 1.0)
+    dt = 1e-3
+    z = jnp.zeros(mesh.np_shape)
+    solver = DiffusionUnsteadyMono(phase, bc_b, bc, dt, (z, z), "BE")
+    solver.solve(3.5 * dt, method="direct")
+
+    fast = FastHeatBE(cap, ops, 1.0, f, bc, bc_b, dt,
+                      cg_tol=1e-13, cg_maxiter=800)
+    Tf = fast.run(z, 5)
+
+    ref = np.asarray(solver.x_omega)
+    got = np.asarray(Tf)
+    active = np.asarray(fast.active)
+    assert np.abs(got[active] - ref[active]).max() < 1e-8
