@@ -93,6 +93,16 @@ def slice_spacetime(cap_st, clamp_rel=0.0):
         small = (vmax > 0) & (vmax < vol_rel * vfull)
         for arr in A_sp + B_sp:
             small = small & (arr < ap_rel * jnp.max(arr))
+        # Tangency slivers: when an interface extremum crosses a grid
+        # line, a strictly born/dying cell (min(Va,Vb) = 0) can carry a
+        # LARGE face aperture (the thin crescent hugs a fully-wet face),
+        # so the all-apertures-small veto above never fires — yet its
+        # bulk row mixes a zero mass with O(1/sliver) flux weights and
+        # one direct solve injects O(1e4) garbage (measured on a 32²
+        # translating circle at the left-edge tangency).  Disconnect
+        # those outright below a 5x looser volume threshold.
+        small = small | ((jnp.minimum(Va, Vb) <= 0)
+                         & (vmax > 0) & (vmax < 5 * vol_rel * vfull))
         kf = (~small).astype(Va.dtype)
         A_sp = tuple(a * kf for a in A_sp)
         B_sp = tuple(b * kf for b in B_sp)

@@ -21,11 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from ..assembly import eval_condition_value, _col_G_nz
-from ..boundary import Dirichlet
+from ..boundary import Dirichlet, Outflow
 from ..capacity import compute_capacity_spacetime
 from ..operators import dm, dm_t
 from .moving_diffusion import psi_weights, slice_spacetime
-from .stokes import PinPressureGauge, VelocityBorder
+from .stokes import _AXIS_KEYS, _AXIS_KEYS_1D, PinPressureGauge, \
+    VelocityBorder
 
 __all__ = ["MovingStokesMono"]
 
@@ -42,14 +43,41 @@ class MovingStokesMono:
         )
         gauge = pressure_gauge or PinPressureGauge()
         Vp = np.asarray(fluid.capacity_p.V)
-        idx = gauge.index if isinstance(gauge, PinPressureGauge) else None
-        if idx is None:
-            flatF = Vp.ravel(order="F")
-            k = int(np.argmax(flatF > 1e-12)) if (flatF > 1e-12).any() else 0
-            idx = np.unravel_index(k, Vp.shape, order="F")
-        pin = np.zeros(Vp.shape, bool)
-        pin[tuple(int(v) for v in idx)] = True
-        self.pin_mask = jnp.asarray(pin)
+        # Outflow plane closure (same reasoning as StokesMono: in an open
+        # system every continuity row is independent, so a single pin
+        # leaves an exact through-flow null mode and a moving wall that
+        # displaces net volume makes the system INCONSISTENT — lstsq then
+        # smears the imbalance over the whole field).  The outlet border
+        # plane's continuity rows become p = 0.  The plane is chosen
+        # statically (the moving body is assumed not to cross the outlet).
+        p_shape = Vp.shape
+        keymap = _AXIS_KEYS_1D if self.N == 1 else _AXIS_KEYS
+        out_mask = np.zeros(p_shape, bool)
+        for bc_i_, bc in enumerate(self.bc_u):
+            for key, cond in bc.borders:
+                if not isinstance(cond, Outflow) or key not in keymap:
+                    continue
+                axis, side = keymap[key]
+                if axis >= self.N or axis != bc_i_:
+                    continue
+                sl = [slice(None)] * len(p_shape)
+                sl[axis] = 0 if side == 0 else fluid.mesh_p.n[axis] - 1
+                out_mask[tuple(sl)] = True
+        self.outflow_p_mask = jnp.asarray(out_mask) if out_mask.any() \
+            else None
+        if self.outflow_p_mask is not None:
+            self.pin_mask = jnp.zeros(p_shape, bool)
+        else:
+            idx = gauge.index if isinstance(gauge, PinPressureGauge) \
+                else None
+            if idx is None:
+                flatF = Vp.ravel(order="F")
+                k = int(np.argmax(flatF > 1e-12)) \
+                    if (flatF > 1e-12).any() else 0
+                idx = np.unravel_index(k, Vp.shape, order="F")
+            pin = np.zeros(Vp.shape, bool)
+            pin[tuple(int(v) for v in idx)] = True
+            self.pin_mask = jnp.asarray(pin)
 
     def _slab_system(self, body_st, t, dt, theta, scheme, p, s, x_prev,
                      t_next):
@@ -65,7 +93,7 @@ class MovingStokesMono:
         cap_p_st = compute_capacity_spacetime(
             body_st, fl.mesh_p, 0.0, dt, p=p, s=s, params=(t,)
         )
-        ops_p, _, _, _, _, _ = slice_spacetime(cap_p_st)
+        ops_p, Va_p, Vb_p, _, _, _ = slice_spacetime(cap_p_st)
 
         mu = fl.mu
         rho = fl.rho
@@ -94,8 +122,17 @@ class MovingStokesMono:
                 pplus = psis[d][0]
                 q = ops.flux(pplus * uws[d], pplus * ugs[d])
                 dV = Va - Vb
+                # mass carries the SLAB-FACE volumes (Va new / Vb old in
+                # the rhs), not the slab average: with the -dV uγ swept-
+                # momentum term this makes any rigid motion (u = uγ = U)
+                # an exact solution of the momentum row — Va U - dV U =
+                # Vb U — exactly like the scalar moving schemes
+                # (build_moving_mono_system).  The slab-average mass made
+                # slabs where the interface crosses a velocity node
+                # inconsistent (measured: a 1D piston plug solving to
+                # 0.45 U on crossing slabs, exact elsewhere).
                 yw = (
-                    Irho * ops.V / dt * uws[d]
+                    Irho * Va * uws[d]
                     + theta * Imu * ops.GT(q)
                     - dV * ugs[d]
                     - ops_p.A[d] * dm(pp, d)
@@ -114,6 +151,8 @@ class MovingStokesMono:
             p_act = _col_G_nz(ops_p)
             yp = jnp.where(p_act, yp, pp)
             yp = jnp.where(self.pin_mask, pp, yp)
+            if self.outflow_p_mask is not None:
+                yp = jnp.where(self.outflow_p_mask, pp, yp)
             return tuple(out) + (yp,)
 
         def rhs():
@@ -130,13 +169,23 @@ class MovingStokesMono:
                 f_n = eval_condition_value(fl.f_u, coords, t_next)
                 load = ops.V * (theta * f_n + (1 - theta) * f_p)
                 q = ops.flux(pplus * uw_p, pplus * ug_p)
-                bw = Irho * ops.V / dt * uw_p \
+                # Vb mass on the rhs pairs with the Va mass + swept -dV uγ
+                # on the matrix side (see apply): rigid motions are exact
+                bw = Irho * Vb * uw_p \
                     - (1 - theta) * Imu * ops.GT(q) + load
                 bw = jnp.where(u_act[d], bw, 0.0)
                 gco = [Cg[..., i] for i in range(Cg.shape[-1])]
                 g = eval_condition_value(self.bc_cut.value, gco, t_next)
                 bg = pplus * g
-                bg = jnp.where(pplus != 0, bg, 0.0)
+                # dead slots keep an identity row but solve uγ = g (not 0):
+                # the continuity H-term differences uγ ACROSS cells, so a
+                # zeroed slot next to the interface injects a spurious
+                # -Bp (uγ_wet - 0) mass defect on slabs where the wall
+                # crosses a velocity node (measured: a 1D piston plug
+                # solving to 0.45 U on those slabs).  The wet region
+                # already carries uγ = g through the tie rows; this just
+                # extends the same field into the dry slots.
+                bg = jnp.where(pplus != 0, bg, g * jnp.ones_like(bg))
                 bw, bg = self.borders[d].rhs(bw, bg, t_next)
                 out += [bw, bg]
             bp = jnp.zeros_like(self.fluid.capacity_p.V)
