@@ -76,6 +76,18 @@ def main(n=64, nm=64, dtype=jnp.float32, jac="autodiff"):
     print(f"{n_steps}-step run (steady state): {wall:.2f}s wall, "
           f"{iters} GN iterations -> {wall / max(iters, 1) * 1e3:.1f} ms/GN, "
           f"{klv} total CG iters ({klv / max(iters, 1):.0f}/GN)")
+    # correctness gate, not just timing: the f32 GN must actually advance
+    # the Frank disk (a round-3 regression froze it via NaN'd volume-
+    # Jacobian tangents while the timing numbers looked perfectly healthy)
+    mk = np.asarray(solver.markers)
+    R_end = float(np.sqrt(((mk - np.asarray(center)) ** 2).sum(1)).mean())
+    K_run = len(solver.iters_log)
+    R_ana = S * np.sqrt(t0 + K_run * dt)
+    print(f"front radius {R_end:.4f} vs analytic {R_ana:.4f} "
+          f"({(R_end / R_ana - 1) * 100:+.1f}%)")
+    assert np.isfinite(np.asarray(solver.residual_log)).all(), \
+        "GN residuals went non-finite"
+    assert abs(R_end / R_ana - 1) < 0.10, (R_end, R_ana)
 
 
 if __name__ == "__main__":

@@ -114,15 +114,25 @@ def polyline_sdf(markers, x, y, chunk=32):
     ~56 ms/eval on one v5e chip); the blocked reduction keeps the pairwise
     tile in registers/VMEM."""
     x, y = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(y))
-    qx, qy = x[..., None], y[..., None]  # (...,1)
     a, b = _segments(markers)  # (n,2)
+    # promote queries and segments to one dtype up front: a mixed
+    # f64-markers/f32-query call otherwise changes the scan carry dtype
+    # mid-body and fails to trace
+    ct = jnp.result_type(x.dtype, a.dtype)
+    x, y, a, b = x.astype(ct), y.astype(ct), a.astype(ct), b.astype(ct)
+    qx, qy = x[..., None], y[..., None]  # (...,1)
     n = a.shape[0]
     nb = -(-n // chunk)
     pad = nb * chunk - n
     if pad:
         # degenerate far-away horizontal segments: huge distance, ya == yb
-        # so the ray-crossing test is identically false
-        far = jnp.full((pad, 2), 1e30, a.dtype)
+        # so the ray-crossing test is identically false.  The magnitude must
+        # keep d2 = dist^2 FINITE in the working dtype: an inf d2 (1e30^2
+        # overflows f32) poisons the jacfwd tangents of the min-reduction
+        # with NaNs, which silently zeroed every f32 Stefan GN step via the
+        # NaN-guard in the LM update.
+        far_val = float(np.sqrt(np.finfo(np.dtype(a.dtype)).max)) / 16.0
+        far = jnp.full((pad, 2), far_val, a.dtype)
         a = jnp.concatenate([a, far])
         b = jnp.concatenate([b, far])
     a = a.reshape(nb, chunk, 2)
@@ -135,7 +145,13 @@ def polyline_sdf(markers, x, y, chunk=32):
         bx, by = bc[:, 0], bc[:, 1]
         abx, aby = bx - ax, by - ay
         ab2 = abx * abx + aby * aby
-        t = ((qx - ax) * abx + (qy - ay) * aby) / jnp.maximum(ab2, 1e-30)
+        # guard epsilon must keep eps^2 a NORMAL number in the working
+        # dtype: the division JVP forms x*dy/(y*y), and (1e-30)^2
+        # underflows to 0 in f32, turning every tangent into 0/0 = NaN
+        # (this silently froze all f32 Stefan GN steps via the LM
+        # NaN-guard).  sqrt(tiny) squares back to ~tiny, which is normal.
+        eps_len = float(np.sqrt(np.finfo(np.dtype(ax.dtype)).tiny))
+        t = ((qx - ax) * abx + (qy - ay) * aby) / jnp.maximum(ab2, eps_len)
         t = jnp.clip(t, 0.0, 1.0)
         dx = qx - (ax + t * abx)
         dy = qy - (ay + t * aby)
@@ -152,7 +168,7 @@ def polyline_sdf(markers, x, y, chunk=32):
     init = (jnp.full(x.shape, jnp.inf, x.dtype),
             jnp.zeros(x.shape, jnp.int32))
     (d2min, cross), _ = jax.lax.scan(body, init, (a, b))
-    pos = d2min > 1e-300
+    pos = d2min > 0.0  # (1e-300 underflows to 0 in f32 anyway)
     dist = jnp.sqrt(jnp.where(pos, d2min, 1.0)) * jnp.where(pos, 1.0, 0.0)
     inside = cross % 2 == 1
     return jnp.where(inside, -dist, dist)
@@ -165,10 +181,13 @@ def polyline_normals(markers):
     (dx,dy) is (dy,-dx)."""
     prev = markers - jnp.roll(markers, 1, axis=0)
     nxt = jnp.roll(markers, -1, axis=0) - markers
-    tang = prev / jnp.maximum(jnp.linalg.norm(prev, axis=-1, keepdims=True), 1e-300) \
-        + nxt / jnp.maximum(jnp.linalg.norm(nxt, axis=-1, keepdims=True), 1e-300)
+    # dtype-aware tiny: 1e-300 flushes to 0 in f32, turning a degenerate
+    # (duplicate-marker) segment into a 0/0 NaN
+    tiny = float(np.finfo(np.dtype(markers.dtype)).tiny)
+    tang = prev / jnp.maximum(jnp.linalg.norm(prev, axis=-1, keepdims=True), tiny) \
+        + nxt / jnp.maximum(jnp.linalg.norm(nxt, axis=-1, keepdims=True), tiny)
     nrm = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
-    return nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-300)
+    return nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), tiny)
 
 
 def polyline_curvature(markers):

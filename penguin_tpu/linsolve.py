@@ -59,6 +59,23 @@ def _make_prec(Minv):
     return lambda r: _tmul(Minv, r)
 
 
+def _dtype_of(tree):
+    return jax.tree_util.tree_leaves(tree)[0].dtype
+
+
+def _guards(tree, tol):
+    """(tiny, floored tol) for the working dtype.
+
+    The old literal guards (``1e-300`` fallbacks) flush to 0.0 in f32,
+    turning every breakdown branch into a division by zero — the f32
+    Stefan GN loop NaN'd through exactly this path.  ``tiny`` is the
+    smallest NORMAL number of the dtype; the tol floor keeps callers from
+    asking an f32 Krylov for 1e-9 (unreachable: it just iterates into
+    rounding-noise breakdowns)."""
+    fi = jnp.finfo(_dtype_of(tree))
+    return float(fi.tiny), max(float(tol), 8.0 * float(fi.eps))
+
+
 def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
     """Jacobi(/diagonal)-preconditioned conjugate gradients on pytrees.
 
@@ -76,7 +93,8 @@ def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
     stall).  The only adaptivity is the tolerance test, whose jump size
     ~tol·‖b‖ stays below outer-loop noise floors."""
     prec = _make_prec(Minv)
-    bb = jnp.maximum(_tdot(b, b), 1e-300)
+    tiny, tol = _guards(b, tol)
+    bb = jnp.maximum(_tdot(b, b), tiny)
     tol2 = tol * tol
 
     r0 = jax.tree_util.tree_map(lambda u, v: u - v, b, apply_fn(x0))
@@ -115,12 +133,15 @@ def pbicgstab(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
     Returns ``(x, iters, relres)``.  No best-iterate/patience adaptivity —
     see the ``pcg`` note (outer-loop smoothness)."""
     prec = _make_prec(Minv)
-    bb = jnp.maximum(_tdot(b, b), 1e-300)
+    tiny, tol = _guards(b, tol)
+    bb = jnp.maximum(_tdot(b, b), tiny)
     tol2 = tol * tol
 
     r0 = jax.tree_util.tree_map(lambda u, v: u - v, b, apply_fn(x0))
     zeros = jax.tree_util.tree_map(jnp.zeros_like, b)
     one = jnp.asarray(1.0, jax.tree_util.tree_leaves(b)[0].dtype)
+    # ρ-breakdown threshold scales with the rounding noise of the dtype
+    brk_tol = 1e-12 if jnp.finfo(_dtype_of(b)).eps < 1e-10 else 1e-6
 
     def cond(st):
         x, r, rhat, p, v, rho, alpha, omega, rr, k = st
@@ -132,8 +153,8 @@ def pbicgstab(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
         # ρ-breakdown (serendipitous ⟂ of r and the shadow residual):
         # restart with rhat := r — the standard remedy; without it the
         # 1/ρ guard silently amplifies garbage until the iterate NaNs.
-        brk = jnp.abs(rho_new) < 1e-12 * jnp.sqrt(
-            jnp.maximum(_tdot(rhat, rhat), 1e-300) * jnp.maximum(rr, 1e-300)
+        brk = jnp.abs(rho_new) < brk_tol * jnp.sqrt(
+            jnp.maximum(_tdot(rhat, rhat), tiny) * jnp.maximum(rr, tiny)
         )
         rhat = jax.tree_util.tree_map(
             lambda rh, rr_: jnp.where(brk, rr_, rh), rhat, r
@@ -143,8 +164,8 @@ def pbicgstab(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
         beta = jnp.where(
             brk,
             0.0,
-            (rho_new / jnp.where(rho != 0, rho, 1e-300))
-            * (alpha / jnp.where(omega != 0, omega, 1e-300)),
+            (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, tiny))
+            * (alpha / jnp.where(jnp.abs(omega) > tiny, omega, tiny)),
         )
         p = jax.tree_util.tree_map(
             lambda rr_, pp, vv: rr_ + beta * (pp - omega * vv), r, p, v
@@ -152,12 +173,12 @@ def pbicgstab(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
         phat = prec(p)
         v = apply_fn(phat)
         rhv = _tdot(rhat, v)
-        alpha = rho_new / jnp.where(rhv != 0, rhv, 1e-300)
+        alpha = rho_new / jnp.where(jnp.abs(rhv) > tiny, rhv, tiny)
         s = _taxpy(-alpha, v, r)
         shat = prec(s)
         t = apply_fn(shat)
         tt = _tdot(t, t)
-        omega = _tdot(t, s) / jnp.where(tt != 0, tt, 1e-300)
+        omega = _tdot(t, s) / jnp.where(jnp.abs(tt) > tiny, tt, tiny)
         x = jax.tree_util.tree_map(
             lambda xx, ph, sh: xx + alpha * ph + omega * sh, x, phat, shat
         )
@@ -220,7 +241,8 @@ def pgmres(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500, restart=40):
     def Ap(v):
         return ravel_pytree(prec(apply_fn(unravel(v))))[0]
 
-    bb = jnp.maximum(jnp.dot(pb_flat, pb_flat), 1e-300)
+    tiny, tol = _guards(b, tol)
+    bb = jnp.maximum(jnp.dot(pb_flat, pb_flat), tiny)
     tol2 = jnp.asarray(tol * tol, dtype)
 
     def cycle_body(j, st):
