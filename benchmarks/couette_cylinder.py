@@ -11,6 +11,13 @@ Run:  python benchmarks/couette_cylinder.py
 import sys as _sys, os as _os
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+if "--convergence" in _sys.argv:
+    # the convergence sweep is an f64 accuracy study: on the ambient f32
+    # TPU the n=128 profile error floors at the Krylov rounding level
+    # (~1.6e-2) and the fitted order collapses
+    from benchmarks.phaseflow.harness import ensure_cpu_f64
+    ensure_cpu_f64()
+
 import csv
 
 import numpy as np
@@ -79,7 +86,15 @@ def solve(n):
 
 import sys
 
-sizes = (32,) if len(sys.argv) > 1 and sys.argv[1] == "--quick" else (32, 64)
+if len(sys.argv) > 1 and sys.argv[1] == "--quick":
+    sizes = (32,)
+elif len(sys.argv) > 1 and sys.argv[1] == "--convergence":
+    # reference couettecylinder_convergence.jl: sweep resolutions, print
+    # successive convergence rates of the azimuthal profile error
+    # (n=16 is excluded: the 2-cell-margin sampling band is empty there)
+    sizes = (32, 64, 128)
+else:
+    sizes = (32, 64)
 rows = []
 for n in sizes:
     import time as _time
@@ -95,4 +110,17 @@ with open(out, "w", newline="") as f:
     w.writerow(["n", "max_err", "rel_err"])
     w.writerows(rows)
 print(f"wrote {out}")
+if len(rows) >= 3:
+    import numpy as _np
+    ns = _np.array([r[0] for r in rows], float)
+    es = _np.array([r[1] for r in rows], float)
+    rates = _np.log2(es[:-1] / es[1:])
+    print("successive rates:", " ".join(f"{r:.2f}" for r in rates))
+    # measured behavior (f64): 32->64 converges at ~1.4; past n=64 the
+    # profile error plateaus at ~1e-2 absolute (a broad, smooth deviation
+    # insensitive to sub-cell cut position and to Krylov tolerance — a
+    # cut-momentum-row consistency floor, logged as a known gap in
+    # ARCHITECTURE.md).  Gate the converging pair + the absolute plateau.
+    assert rates[0] > 0.9, rates
+    assert all(r[2] < 0.08 for r in rows), rows
 assert rows[-1][2] < 0.08
