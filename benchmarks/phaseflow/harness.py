@@ -55,7 +55,11 @@ def write_csv(name, rows, header):
 
 def convergence_study(name, solve_one, sizes, verbose=True):
     """``solve_one(n) -> (h, dict(all=, full=, cut=, empty=))``.  Returns
-    dict with h/err lists and fitted orders; writes the CSV."""
+    dict with h/err lists and fitted orders.
+
+    Writes the CSV only on verbose (full) runs: the pytest gates re-run
+    cases at reduced sizes with ``verbose=False``, and letting them write
+    would clobber the recorded full-size result tables."""
     hs, errs = [], {"all": [], "full": [], "cut": [], "empty": []}
     for n in sizes:
         h, e = solve_one(n)
@@ -69,7 +73,8 @@ def convergence_study(name, solve_one, sizes, verbose=True):
     if verbose:
         print(f"{name} orders: all={orders['all']:.2f} "
               f"full={orders['full']:.2f} cut={orders['cut']:.2f}")
-    rows = [(n, hs[i], errs["all"][i], errs["full"][i], errs["cut"][i])
-            for i, n in enumerate(sizes)]
-    write_csv(name, rows, ["n", "h", "err_all", "err_full", "err_cut"])
+    if verbose:
+        rows = [(n, hs[i], errs["all"][i], errs["full"][i], errs["cut"][i])
+                for i, n in enumerate(sizes)]
+        write_csv(name, rows, ["n", "h", "err_all", "err_full", "err_cut"])
     return {"h": hs, "err": errs, "orders": orders, "sizes": list(sizes)}

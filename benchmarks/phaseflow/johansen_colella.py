@@ -121,8 +121,9 @@ def run_problem3(sizes=(32, 64, 128), verbose=True):
         if verbose:
             print(f"jc3 n={n}: max={inside.max():.6f} min={inside.min():.6f}"
                   f" cut={cut.size} overshoot%={pct:.2f}")
-    write_csv("jc3_flower_laplace", rows,
-              ["n", "max", "min", "cut_cells", "overshoot_pct"])
+    if verbose:  # tests run reduced sizes; don't clobber the full CSV
+        write_csv("jc3_flower_laplace", rows,
+                  ["n", "max", "min", "cut_cells", "overshoot_pct"])
     return {"worst_violation": worst, "rows": rows}
 
 
