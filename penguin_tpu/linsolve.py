@@ -71,9 +71,10 @@ def _guards(tree, tol):
     Stefan GN loop NaN'd through exactly this path.  ``tiny`` is the
     smallest NORMAL number of the dtype; the tol floor keeps callers from
     asking an f32 Krylov for 1e-9 (unreachable: it just iterates into
-    rounding-noise breakdowns)."""
+    rounding-noise breakdowns).  ``tol`` may be a TRACED scalar (the JFNK
+    Eisenstat-Walker forcing), so the floor uses jnp.maximum."""
     fi = jnp.finfo(_dtype_of(tree))
-    return float(fi.tiny), max(float(tol), 8.0 * float(fi.eps))
+    return float(fi.tiny), jnp.maximum(tol, 8.0 * float(fi.eps))
 
 
 def pcg(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500):
