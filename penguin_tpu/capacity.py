@@ -106,10 +106,29 @@ def _insert(coords, d, value):
     return coords
 
 
+def _face_both_active(active, d, n, dtype):
+    """Mask (on the face grid along axis d: n[d]+1 slots) that is 1 only
+    where BOTH adjacent cells are active.  Faces at the domain border
+    (slots 0 and n[d]) keep the single adjacent cell's activity — the
+    border rows own those, not the interface closure."""
+    N = len(n)
+    one_plane_shape = tuple(1 if i == d else n[i] for i in range(N))
+    ones_plane = jnp.ones(one_plane_shape, dtype)
+    act = active.astype(dtype)
+    lo_act = jnp.concatenate([ones_plane, act], axis=d)       # cell k-1 at face k
+    hi_act = jnp.concatenate([act, ones_plane], axis=d)       # cell k at face k
+    return lo_act * hi_act
+
+
 # Narrow-band defaults: cell count above which the static path auto-sizes a
 # band budget, and the Lipschitz safety factor on the SDF margin test.
 _BAND_AUTO_MIN_CELLS = 16384
 _BAND_DEFAULT_SAFETY = 2.0
+
+# aperture-divergence carrier threshold (relative to the full face
+# measure): cells whose |A_lo - A_hi| exceeds this are interface carriers
+# regardless of their volume classification
+_CARRIER_REL_TOL = 1e-10
 
 
 def _is_traced(x):
@@ -420,6 +439,19 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
     ]
 
     # --- face capacities A[d] ------------------------------------------------
+    # Consistency with the volumes: an INTERIOR face with fluid volume on
+    # only one side is part of the fluid BOUNDARY, not an interior flux
+    # face — its aperture must be 0 so the measure lands in Gamma (the
+    # |A_lo - A_hi| divergence identity below) and the closure runs
+    # through the interface rows.  Without this, a tangency sliver (the
+    # body grazing a grid face: chord aperture O(h) while the far-side
+    # volume is below the volume-quadrature floor) leaks flux into
+    # identity-pinned empty cells; measured on the r=1 disk at 64²: 8
+    # such faces (apertures up to 0.09 h) drag the DISCRETE solution of
+    # the constant-state problem off by up to 4.9e-2 and break grid
+    # convergence of every solver on 'unlucky' geometries.  Domain-border
+    # faces (no far-side cell) are exempt — the border rows own them.
+    active = jnp.where(is_empty, 0.0, 1.0)
     A = []
     for d in range(N):
         shp = [1] * N
@@ -436,6 +468,7 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
 
             Ad, _ = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
             Ad = jnp.broadcast_to(Ad, tuple(n[i] + 1 if i == d else n[i] for i in range(N)))
+        Ad = Ad * _face_both_active(active, d, n, Ad.dtype)
         A.append(_pad_cells(Ad, np_shape))
 
     # --- centroid-line capacities B[d] --------------------------------------
@@ -491,6 +524,24 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
         Ad = A[d]
         Sd = Ad[tuple(sl0)] - Ad[tuple(sl1)]
         S2 = S2 + Sd * Sd
+    # A cell CARRIES interface closure wherever its aperture divergence is
+    # nonzero — not only where the volume classification says 'cut'.  At a
+    # grazing face the volume quadrature can see a cell as exactly full
+    # while the (finer, lower-dimensional) face quadrature resolves a
+    # partial aperture; without a Gamma row there, the H coupling pulls
+    # the cell toward the masked-to-zero gamma DOF of its neighbor and the
+    # DISCRETE system loses constant-state exactness (measured: u == 1
+    # off by up to 16% on grazing disks, with errors GROWING under
+    # refinement).  Promoting aperture-divergence carriers to cut cells
+    # restores the G·1 + H·1 = 0 identity exactly.
+    face_meas = jnp.zeros(n, dtype)
+    for d in range(N):
+        face_meas = jnp.maximum(
+            face_meas, jnp.broadcast_to(full_vol / (hi[d] - lo[d]), n))
+    carrier = (~is_empty) & (S2 > (_CARRIER_REL_TOL * face_meas) ** 2)
+    is_cut = is_cut | carrier
+    cell_types = jnp.where(is_empty, 0,
+                           jnp.where(is_cut, -1, 1)).astype(jnp.int8)
     Gamma_cells = jnp.where(
         is_cut, jnp.sqrt(jnp.where(is_cut, S2, 1.0)), 0.0
     )
@@ -614,6 +665,10 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         Ad_b, _ = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
         Ad = _scatter_flat(jnp.where(ffull, cross_meas, 0.0),
                            fidx, Ad_b, fshape)
+        # boundary-face consistency (see the dense path): interior faces
+        # with an empty cell on either side carry no interior flux
+        Ad = Ad * _face_both_active(jnp.where(is_empty, 0.0, 1.0), d, n,
+                                    Ad.dtype)
         A.append(_pad_cells(Ad, np_shape))
 
     # --- centroid-line capacities B[d] on the cell band ---------------------
@@ -680,6 +735,17 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         sl1[d] = slice(1, n[d] + 1)
         Sd = A[d][tuple(sl0)] - A[d][tuple(sl1)]
         S2 = S2 + Sd * Sd
+    # promote aperture-divergence carriers to cut cells (see the dense
+    # path): grazing-face cells classified full by volume must still get
+    # a Gamma row or constants leak through their masked gamma DOFs
+    face_meas = jnp.zeros(n, dtype)
+    for d in range(N):
+        face_meas = jnp.maximum(
+            face_meas, jnp.broadcast_to(full_vol / (hi[d] - lo[d]), n))
+    carrier = (~is_empty) & (S2 > (_CARRIER_REL_TOL * face_meas) ** 2)
+    is_cut = is_cut | carrier
+    cell_types = jnp.where(is_empty, 0,
+                           jnp.where(is_cut, -1, 1)).astype(jnp.int8)
     Gamma_cells = jnp.where(is_cut, jnp.sqrt(jnp.where(is_cut, S2, 1.0)), 0.0)
 
     # --- interface centroids: closest-point projection, band only -----------

@@ -636,11 +636,20 @@ class StokesMono:
     # The reference has no analogue (it factorizes the saddle point with
     # UMFPACK, stokes.jl:1512-1567); this is the TPU-native replacement.
     # ------------------------------------------------------------------
-    def make_block_preconditioner(self, dt=None, theta=1.0, cheb_iters=14,
-                                  lmin=0.04, lmax=2.0, conv_diag=None):
+    def make_block_preconditioner(self, dt=None, theta=1.0, cheb_iters=20,
+                                  lmin=None, lmax=None, conv_diag=None):
         """Returns ``M(r) -> z`` approximating the inverse of the
         (unsteady if ``dt`` given) Stokes operator.  ``conv_diag``: extra
-        per-component momentum diagonal (Picard convection)."""
+        per-component momentum diagonal (Picard convection).
+
+        ``lmin``/``lmax`` bound the spectrum of the Jacobi-scaled pressure
+        Schur complement for the inner Chebyshev.  ``None`` (default)
+        estimates them by power iteration at build time — fixed literals
+        are fragile: cut geometries with weakly coupled near-interface
+        pressure cells push eigenvalues BELOW any fixed floor and
+        Chebyshev then AMPLIFIES those modes (measured: the 128² annulus
+        stalls restarted GMRES at 4e-4 with the old lmin=0.04, converges
+        to 1e-11 with estimated bounds)."""
         from ..assembly import _diag_GtWG
 
         N = self.N
@@ -676,6 +685,69 @@ class StokesMono:
                 out = out + dm_t(coeff[d] * dm(pa, d, per), d, per)
             return jnp.where(self.p_active, out, p)
 
+        mask = self.p_active
+        nact = jnp.maximum(jnp.sum(jnp.where(mask, 1.0, 0.0)), 1.0)
+
+        def _deflate(p):
+            # remove the pressure-gauge constant mode over the active set
+            # (Lp's null space) so the estimates/Chebyshev see only the
+            # physically relevant spectrum
+            mean = jnp.sum(jnp.where(mask, p, 0.0)) / nact
+            return jnp.where(mask, p - mean, 0.0)
+
+        if lmin is None or lmax is None:
+            # spectrum bounds of D⁻¹Lp on the active set by power iteration
+            # (similar to the SPD D^{-1/2} Lp D^{-1/2}: spectrum is real
+            # nonnegative).  Deterministic start with an index modulation so
+            # the top mode is never orthogonal by symmetry accident.
+            mod = 0.0
+            for d in range(N):
+                shp = [1] * mask.ndim
+                shp[d] = mask.shape[d]
+                mod = mod + jnp.arange(mask.shape[d]).reshape(shp) * (d + 1.3)
+            v = _deflate(jnp.where(mask, 1.0 + jnp.sin(mod), 0.0))
+
+            def scaled(p):
+                return jnp.where(mask, dLp_inv * Lp(p), 0.0)
+
+            def _power(op, v0, iters=16):
+                vk = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-300)
+                lam = jnp.asarray(1.0, jnp.zeros(0).dtype)
+                for _ in range(iters):
+                    w = _deflate(op(vk))
+                    lam = jnp.vdot(vk, w).real
+                    vk = w / jnp.maximum(jnp.linalg.norm(w), 1e-300)
+                return lam
+
+            lmax_e = _power(scaled, v)
+            lmax_eff = 1.05 * jnp.maximum(lmax_e, 1e-8)
+            # smallest DEFLATED eigenvalue via the shifted operator
+            mu = _power(lambda p: lmax_eff * jnp.where(mask, p, 0.0)
+                        - scaled(p), v)
+            lmin_e = lmax_eff - mu
+            if lmax is None:
+                lmax = lmax_eff
+            if lmin is None:
+                # power iteration approaches the smallest eigenvalue from
+                # ABOVE (Ritz interlacing): halve it for safety.  Wider
+                # margins (/8 tried) flatten the Chebyshev polynomial over
+                # the actual spectrum and measurably weaken the JFNK inner
+                # solves; /2 converges every measured geometry (incl. the
+                # 128 annulus that diverged under the old fixed 0.04).
+                lmin = jnp.clip(0.5 * lmin_e, 1e-4 * lmax_eff,
+                                0.5 * lmax_eff)
+
+        # deepen the sweep to match the measured spectral width (the old
+        # fixed 14 was tuned for ratio ~50); outside a trace the ratio is
+        # concrete and the unroll count can follow it
+        try:
+            ratio_f = float(lmax) / max(float(lmin), 1e-30)
+            cheb_iters = int(min(max(1.6 * np.sqrt(ratio_f), cheb_iters),
+                                 48))
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            pass  # traced bounds: keep the caller's fixed depth
+
         th_c = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma = th_c / delta
@@ -708,7 +780,13 @@ class StokesMono:
                 s = jnp.where(self.pin_mask, 0.0, s)
             if self.outflow_p_mask is not None:
                 s = jnp.where(self.outflow_p_mask, 0.0, s)
-            zp = -cheb(s)
+            # Chebyshev must not see Lp's constant null mode (it would
+            # amplify it cosh-fast); route that component through a bounded
+            # identity instead — the pin/gauge rows own the level anyway
+            mean_s = jnp.sum(jnp.where(mask, s, 0.0)) / nact
+            zp = -(cheb(_deflate(s))
+                   + (mean_s / jnp.maximum(lmax, 1e-30))
+                   * jnp.where(mask, 1.0, 0.0))
             zp = jnp.where(self.p_active, zp, rp)
             if self.pin_mask is not None:
                 zp = jnp.where(self.pin_mask, rp, zp)

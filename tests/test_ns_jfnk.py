@@ -96,7 +96,11 @@ def test_block_preconditioned_unsteady_matches_direct():
                            tol=1e-11)
     for a, b in zip(xd, xp):
         assert float(jnp.abs(a - b).max()) < 1e-7
-    # cold start pays full price; warm-started steps must be cheap
-    assert s2.krylov_iters[0] <= 200, s2.krylov_iters
+    # cold start pays full price; warm-started steps must be cheap.  (The
+    # cold bound moved 200 -> 320 when the block preconditioner switched
+    # to power-estimated Chebyshev bounds: slightly more cold iterations
+    # on easy geometries in exchange for converging on the cut annuli the
+    # fixed [0.04, 2] window diverged on.)
+    assert s2.krylov_iters[0] <= 320, s2.krylov_iters
     assert s2.krylov_iters[1:].max() <= 40, s2.krylov_iters
     assert s2.krylov_relres.max() < 1e-10
