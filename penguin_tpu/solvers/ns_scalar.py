@@ -299,3 +299,135 @@ class NavierStokesScalarCoupler:
         while self.time < t_end - 1e-12:
             self.step(dt, scheme)
         return self.x, self.T
+
+    # -- compiled-scan fast path -----------------------------------------
+    def run_fast(self, dt, t_end, scheme="BE", picard_iters=None,
+                 tol=1e-8, maxiter=200, method="pbicgstab", restart=60):
+        """Advance to ``t_end`` with one jitted ``lax.scan`` over steps.
+
+        Same stepping semantics as :meth:`step` (AB2-extrapolated explicit
+        convection; per-step Picard sweeps that update buoyancy from the
+        scalar iterate and scalar convection from the new velocity), but
+        every linear solve is preconditioned Krylov instead of the dense
+        ``lstsq`` fallback: momentum rides the block-Schur BiCGStab of
+        ``NavierStokesMono.solve_unsteady`` and the scalar a
+        Jacobi-preconditioned BiCGStab.  The Picard sweep count is fixed
+        (unrolled in the trace) rather than tolerance-gated — call this in
+        chunks and check convergence between chunks, like the unsteady NS
+        benchmarks do (one multi-minute device-side scan can trip the TPU
+        runtime watchdog).
+
+        The reference marches this coupling with per-step sparse factor
+        solves (navierstokes_scalar_coupling.jl:370-420); here the whole
+        chunk is one compiled scan on device.
+        """
+        import jax
+
+        from ..assembly import mono_diag_fn
+        from ..linsolve import pbicgstab, pgmres
+
+        if method == "pgmres":
+            # the robust f32 choice: BiCGStab can overflow on the cut-cell
+            # saddle point in single precision (see solve_unsteady)
+            def krylov(apply_fn, b, x0, Minv):
+                return pgmres(apply_fn, b, x0, Minv=Minv, tol=tol,
+                              maxiter=maxiter, restart=restart)
+        else:
+            def krylov(apply_fn, b, x0, Minv):
+                return pbicgstab(apply_fn, b, x0, Minv=Minv, tol=tol,
+                                 maxiter=maxiter)
+
+        theta = 0.5 if scheme == "CN" else 1.0
+        if picard_iters is None:
+            picard_iters = (self.strategy.maxiter
+                            if isinstance(self.strategy, PicardCoupling) else 1)
+            picard_iters = min(int(picard_iters), 3)
+        mom = self.momentum
+        apply_u = mom.make_unsteady_apply(dt, theta)
+        rhs_u = mom.make_unsteady_rhs(dt, theta)
+        Mu = mom.make_block_preconditioner(dt=dt, theta=theta)
+        rho = mom.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        cap = self.cap_T
+        ia, ib = build_I_bc(self.bc_T_cut)
+        Id = coefficient_diag(self.kappa, cap)
+        border = border_info(cap.mesh, self.bc_T)
+
+        def momentum_solve(xc, conv_c, conv_p, first, Tw, t):
+            extra = []
+            for d in range(2):
+                conv = jnp.where(first, conv_c[d],
+                                 1.5 * conv_c[d] - 0.5 * conv_p[d])
+                term = -rho_val * conv
+                if self.beta != 0.0 and self.gravity[d] != 0.0:
+                    T_on_u = _gather2d(Tw, self._T_to_u[d])
+                    Vd = mom.fluid.operator_u[d].V
+                    term = term - rho_val * self.beta * self.gravity[d] * Vd * (
+                        T_on_u - self.T_ref)
+                extra.append(term)
+            b = rhs_u(xc, t, t + dt, extra_mom=tuple(extra))
+            return krylov(apply_u, b, xc, Mu)
+
+        def scalar_solve(Tc, x_vel, t):
+            u_onT = tuple(
+                _gather2d(x_vel[2 * d], self._u_to_T[d]) for d in range(2))
+            ug_onT = tuple(
+                _gather2d(x_vel[2 * d + 1], self._u_to_T[d]) for d in range(2))
+            conv = make_convection_ops(cap, u_onT, ug_onT)
+            masks = scalar_masks(conv, cap.Gamma, ia, ib, steady=False,
+                                 conv=conv)
+            af = mono_apply_fn(conv, Id, cap.Gamma, ia, ib, dt=dt,
+                               scheme=scheme, border=border, masks=masks,
+                               conv=conv)
+            bf = mono_rhs_fn(conv, Id, cap.Gamma, ia, ib, cap, self.source_T,
+                             self.bc_T_cut, dt=dt, scheme=scheme,
+                             border=border, masks=masks, conv=conv)
+            diag = mono_diag_fn(conv, Id, cap.Gamma, ia, ib, dt=dt,
+                                scheme=scheme, border=border, masks=masks)
+
+            def Minv(r):
+                return tuple(a / d_ for a, d_ in zip(r, diag))
+
+            return krylov(af, bf(Tc, t), Tc, Minv)
+
+        n_steps = int(np.ceil((t_end - self.time) / dt - 1e-12))
+        cache = getattr(self, "_fast_run_cache", None)
+        if cache is None:
+            cache = self._fast_run_cache = {}
+        key = (dt, theta, scheme, picard_iters, tol, maxiter, method,
+               restart, n_steps)
+        run = cache.get(key)
+        if run is None:
+            @jax.jit
+            def run(x0, T0, conv_p0, first0, t0_):
+                def body(carry, k):
+                    xc, Tc, conv_p, first = carry
+                    t = t0_ + k * dt
+                    conv_c = mom.conv_vectors(xc)
+                    x_it, T_it = xc, Tc
+                    for _ in range(picard_iters):
+                        x_it, itu, rru = momentum_solve(
+                            xc, conv_c, conv_p, first, T_it[0], t)
+                        T_it, itT, rrT = scalar_solve(Tc, x_it, t)
+                    return ((x_it, T_it, conv_c, jnp.asarray(False)),
+                            (itu, rru, itT, rrT))
+
+                carry0 = (x0, T0, conv_p0, first0)
+                (xf, Tf, conv_f, _), aux = jax.lax.scan(
+                    body, carry0, jnp.arange(n_steps, dtype=jnp.float64))
+                return xf, Tf, conv_f, aux
+
+            cache[key] = run
+
+        first0 = jnp.asarray(self.conv_prev is None)
+        conv_p0 = (self.conv_prev if self.conv_prev is not None
+                   else mom.conv_vectors(self.x))
+        self.x, self.T, self.conv_prev, aux = run(
+            self.x, self.T, conv_p0, first0, self.time)
+        self.krylov_iters_u = np.asarray(aux[0])
+        self.krylov_relres_u = np.asarray(aux[1])
+        self.krylov_iters_T = np.asarray(aux[2])
+        self.krylov_relres_T = np.asarray(aux[3])
+        self.time += n_steps * dt
+        self.states.append((self.time, self.x, self.T))
+        return self.x, self.T

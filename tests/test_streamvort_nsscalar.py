@@ -145,3 +145,59 @@ def test_monolithic_coupling_matches_picard():
     for a, b in zip(c1.x, c2.x):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
     assert np.abs(np.asarray(c1.T[0]) - np.asarray(c2.T[0])).max() < 5e-3
+
+
+def test_run_fast_matches_step():
+    """The compiled-scan Krylov fast path must reproduce the host-loop
+    Picard stepper (dense solves) to solver precision."""
+    n = 10
+    L = 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1e-2, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    noslip = pt.Dirichlet(0.0)
+    bc_wall = pt.BorderConditions({k: noslip
+                                   for k in ("left", "right", "bottom", "top")})
+    bc_T = pt.BorderConditions({
+        "bottom": pt.Dirichlet(1.0), "top": pt.Dirichlet(0.0),
+        "left": pt.Neumann(0.0), "right": pt.Neumann(0.0),
+    })
+    C = np.asarray(caps[2].C_om)
+    T0w = jnp.asarray(np.clip(1.0 - C[..., 0], 0.0, 1.0)
+                      * (np.asarray(caps[2].V) > 0))
+
+    def make():
+        mom = NavierStokesMono(fluid, (bc_wall, bc_wall), PinPressureGauge(),
+                               pt.Dirichlet(0.0))
+        return NavierStokesScalarCoupler(
+            mom, caps[2], fluid.operator_p, kappa=1e-2,
+            scalar_source=lambda x, y, z, t: 0.0,
+            bc_scalar=bc_T, bc_scalar_cut=pt.Dirichlet(0.0),
+            strategy=PicardCoupling(tol_T=0.0, tol_U=0.0, maxiter=2),
+            beta=10.0, gravity=(0.0, -1.0), T_ref=0.5, T0=(T0w, T0w),
+        )
+
+    dt = 0.01
+    a = make()
+    a.step(dt, scheme="BE")
+    a.step(dt, scheme="BE")
+    b = make()
+    b.run_fast(dt, 2 * dt, scheme="BE", picard_iters=2, tol=1e-13)
+    for xa, xb in zip(a.x, b.x):
+        assert np.abs(np.asarray(xa) - np.asarray(xb)).max() < 1e-8
+    for Ta, Tb in zip(a.T, b.T):
+        assert np.abs(np.asarray(Ta) - np.asarray(Tb)).max() < 1e-8
+    assert b.time == a.time
