@@ -14,7 +14,28 @@ import jax as _jax
 
 # Persistent XLA compilation cache: compiles in this environment go through a
 # remote service (~40 s/graph), so caching across processes is essential.
-_cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# The cache is partitioned per host CPU: XLA:CPU AOT executables baked for
+# one machine's feature set can SIGILL on another (observed as pytest
+# segfaults after a host swap — the loader only warns on feature mismatch).
+
+
+def _host_cache_tag():
+    import hashlib as _hashlib
+    import platform as _platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith(("flags", "Features"))), "")
+    except OSError:  # pragma: no cover
+        flags = _platform.processor()
+    h = _hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return f"{_platform.machine()}-{h}"
+
+
+_cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if _cache_dir is None:
+    _cache_dir = _os.path.join("/root/.jax_cache", _host_cache_tag())
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
