@@ -106,18 +106,37 @@ def _insert(coords, d, value):
     return coords
 
 
-def _face_both_active(active, d, n, dtype):
-    """Mask (on the face grid along axis d: n[d]+1 slots) that is 1 only
-    where BOTH adjacent cells are active.  Faces at the domain border
-    (slots 0 and n[d]) keep the single adjacent cell's activity — the
-    border rows own those, not the interface closure."""
+# Relative volume below which a face adjoining the cell starts to close
+# (smoothstep ramp).  Must be small: the gate only exists to zero faces
+# against (near-)empty cells, not to re-weight resolved ones.
+_FACE_GATE_REL = 1e-3
+
+
+def _face_open_fraction(V_cells, full_vol, d, n, dtype):
+    """Per-face openness in [0, 1] along axis d (n[d]+1 slots): exactly 0
+    where an adjacent cell has zero fluid volume, smoothly ramping to 1 as
+    that volume reaches ``_FACE_GATE_REL`` of the full cell.  Faces at the
+    domain border (slots 0 and n[d]) stay fully open — the border rows own
+    those, not the interface closure.
+
+    A HARD both-cells-active mask here is correct for static geometry but
+    destabilizes the moving-front Gauss-Newton solvers: as markers move, a
+    sliver cell crossing the empty threshold flips whole faces discretely,
+    the autodiff volume Jacobian cannot see the flip, and the diphasic
+    Frank-disk front develops 8% lobes (round-3 regression).  The smooth
+    gate keeps dA/d(markers) continuous while preserving the exact-zero
+    aperture against V=0 cells that constant-state consistency needs
+    (volumes at/below the quadrature floor are snapped to exactly 0)."""
     N = len(n)
+    t = jnp.clip(V_cells.astype(dtype)
+                 / (_FACE_GATE_REL * jnp.broadcast_to(full_vol, n)),
+                 0.0, 1.0)
+    g = t * t * (3.0 - 2.0 * t)  # smoothstep
     one_plane_shape = tuple(1 if i == d else n[i] for i in range(N))
     ones_plane = jnp.ones(one_plane_shape, dtype)
-    act = active.astype(dtype)
-    lo_act = jnp.concatenate([ones_plane, act], axis=d)       # cell k-1 at face k
-    hi_act = jnp.concatenate([act, ones_plane], axis=d)       # cell k at face k
-    return lo_act * hi_act
+    lo_g = jnp.concatenate([ones_plane, g], axis=d)       # cell k-1 at face k
+    hi_g = jnp.concatenate([g, ones_plane], axis=d)       # cell k at face k
+    return lo_g * hi_g
 
 
 # Narrow-band defaults: cell count above which the static path auto-sizes a
@@ -451,7 +470,6 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
     # the constant-state problem off by up to 4.9e-2 and break grid
     # convergence of every solver on 'unlucky' geometries.  Domain-border
     # faces (no far-side cell) are exempt — the border rows own them.
-    active = jnp.where(is_empty, 0.0, 1.0)
     A = []
     for d in range(N):
         shp = [1] * N
@@ -468,7 +486,13 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
 
             Ad, _ = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
             Ad = jnp.broadcast_to(Ad, tuple(n[i] + 1 if i == d else n[i] for i in range(N)))
-        Ad = Ad * _face_both_active(active, d, n, Ad.dtype)
+        if not spacetime:
+            # STATIC builds only: the moving solvers consume space-time
+            # capacities whose near-front slivers are handled by their own
+            # aperture-gated disconnection (moving_diffusion.py); gating
+            # the slab apertures here perturbs the Stefan GN flux balance
+            # (diphasic Frank disk develops 3-8% lobes).
+            Ad = Ad * _face_open_fraction(V_cells, full_vol, d, n, Ad.dtype)
         A.append(_pad_cells(Ad, np_shape))
 
     # --- centroid-line capacities B[d] --------------------------------------
@@ -666,9 +690,10 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         Ad = _scatter_flat(jnp.where(ffull, cross_meas, 0.0),
                            fidx, Ad_b, fshape)
         # boundary-face consistency (see the dense path): interior faces
-        # with an empty cell on either side carry no interior flux
-        Ad = Ad * _face_both_active(jnp.where(is_empty, 0.0, 1.0), d, n,
-                                    Ad.dtype)
+        # with an empty cell on either side carry no interior flux;
+        # static builds only (see the dense path for why)
+        if not spacetime:
+            Ad = Ad * _face_open_fraction(V_cells, full_vol, d, n, Ad.dtype)
         A.append(_pad_cells(Ad, np_shape))
 
     # --- centroid-line capacities B[d] on the cell band ---------------------
