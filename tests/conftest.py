@@ -20,3 +20,18 @@ jax.config.update("jax_enable_x64", True)
 assert jax.default_backend() == "cpu", (
     "tests must run on the local CPU backend; got " + jax.default_backend()
 )
+
+
+# Accumulating ~170 tests of compiled executables in one process makes a
+# subsequent XLA:CPU execution segfault (deterministic at the same suite
+# position; RSS/threads/fds all healthy — an XLA:CPU executable-arena
+# issue, not a resource limit).  Dropping executables between modules
+# keeps the live set small; the persistent compile cache makes the
+# reloads cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
