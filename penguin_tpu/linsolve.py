@@ -318,6 +318,102 @@ def pgmres(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500, restart=40):
     return unravel(x), k, rnorm / jnp.sqrt(bb)
 
 
+def fgmres(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500, restart=40):
+    """Flexible restarted GMRES (right preconditioning, Saad 1993).
+
+    Unlike :func:`pgmres`, the preconditioner may be a NONLINEAR operator
+    (e.g. an inner Krylov solve on a Schur block): each Arnoldi vector's
+    preconditioned image ``z_j = M(v_j)`` is stored and the update is
+    ``x += Z y``.  Costs one extra (m, n) basis; ``relres`` is in the TRUE
+    (unpreconditioned) residual norm.  Returns ``(x, iters, relres)``.
+    """
+    prec = _make_prec(Minv)
+    b_flat, unravel = ravel_pytree(b)
+    x0_flat = ravel_pytree(x0)[0]
+    n = b_flat.size
+    dtype = b_flat.dtype
+    m = int(min(restart, n))
+
+    def Af(v):
+        return ravel_pytree(apply_fn(unravel(v)))[0]
+
+    def Mf(v):
+        return ravel_pytree(prec(unravel(v)))[0]
+
+    tiny, tol = _guards(b, tol)
+    bb = jnp.maximum(jnp.dot(b_flat, b_flat), tiny)
+    tol2 = jnp.asarray(tol * tol, dtype)
+
+    def cycle_body(j, st):
+        V, Z, R, cs, sn, g = st
+        z = Mf(V[j])
+        Z = Z.at[j].set(z)
+        w = Af(z)
+
+        def mgs(i, wh):
+            w, h = wh
+            keep = (i <= j).astype(dtype)
+            hij = keep * jnp.dot(V[i], w)
+            return (w - hij * V[i], h.at[i].set(hij))
+
+        w, h = jax.lax.fori_loop(
+            0, m + 1, mgs, (w, jnp.zeros((m + 1,), dtype))
+        )
+        hnext = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(w / jnp.where(hnext == 0, 1.0, hnext))
+
+        def rot(i, hh):
+            h, lo = hh
+            keep = i < j
+            hi = jnp.where(keep, cs[i] * h[i] + sn[i] * h[i + 1], h[i])
+            hi1 = jnp.where(keep, -sn[i] * h[i] + cs[i] * h[i + 1], h[i + 1])
+            return (h.at[i].set(hi).at[i + 1].set(hi1), lo)
+
+        h, _ = jax.lax.fori_loop(0, m, rot, (h, 0))
+        denom = jnp.sqrt(h[j] ** 2 + hnext ** 2)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        c_j, s_j = jnp.where(denom == 0, 1.0, h[j] / safe), hnext / safe
+        cs, sn = cs.at[j].set(c_j), sn.at[j].set(s_j)
+        h = h.at[j].set(c_j * h[j] + s_j * hnext)
+        g = g.at[j + 1].set(-s_j * g[j]).at[j].set(c_j * g[j])
+        R = R.at[:, j].set(h[: m + 1])
+        return V, Z, R, cs, sn, g
+
+    def one_cycle(x):
+        r = b_flat - Af(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype)
+        V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+        Z = jnp.zeros((m, n), dtype)
+        R = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        V, Z, R, cs, sn, g = jax.lax.fori_loop(
+            0, m, cycle_body, (V, Z, R, cs, sn, g)
+        )
+        Rm = R[:m, :m]
+        dsafe = jnp.where(jnp.abs(jnp.diagonal(Rm)) < 1e-30, 1.0,
+                          jnp.diagonal(Rm))
+        Rm = Rm - jnp.diag(jnp.diagonal(Rm)) + jnp.diag(dsafe)
+        y = jax.scipy.linalg.solve_triangular(Rm, g[:m], lower=False)
+        return x + Z.T @ y, jnp.abs(g[m])
+
+    def cond(st):
+        x, rnorm, k = st
+        return (rnorm * rnorm > tol2 * bb) & (k < maxiter)
+
+    def body(st):
+        x, rnorm, k = st
+        x, rnorm = one_cycle(x)
+        return (x, rnorm, k + m)
+
+    r0 = b_flat - Af(x0_flat)
+    st = (x0_flat, jnp.linalg.norm(r0), 0)
+    x, rnorm, k = jax.lax.while_loop(cond, body, st)
+    return unravel(x), k, rnorm / jnp.sqrt(bb)
+
+
 def materialize_dense(apply_fn, template):
     """Build the dense matrix of a linear pytree operator.
 

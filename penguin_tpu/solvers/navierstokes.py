@@ -167,6 +167,21 @@ class NavierStokesMono(StokesMono):
             def lin_solve(b, x0_=None):
                 return pgmres(apply_fn, b, x0_, Minv=M, tol=tol,
                               maxiter=maxiter or 400, restart=60)
+        elif method == "fgmres":
+            # flexible GMRES with an inner-CG Schur solve: no spectral
+            # bounds, so it survives geometries where the Chebyshev bound
+            # estimate mistunes (e.g. the 256x128 DFG channel, where
+            # pgmres stalls at relres ~1e-2 and the run blows up)
+            from ..linsolve import fgmres
+
+            M = self.make_block_preconditioner(dt=dt, theta=theta,
+                                               schur="cg",
+                                               schur_cg_iters=50)
+            telemetry = True
+
+            def lin_solve(b, x0_=None):
+                return fgmres(apply_fn, b, x0_, Minv=M, tol=tol,
+                              maxiter=maxiter or 400, restart=40)
         else:
             from jax.scipy.sparse.linalg import gmres
 
@@ -235,21 +250,98 @@ class NavierStokesMono(StokesMono):
     # ------------------------------------------------------------------
     def solve_unsteady_picard(self, dt, t_end, scheme="BE", picard_iters=4,
                               picard_tol=1e-9, method="lstsq", x0=None,
-                              verbose=False):
+                              verbose=False, tol=1e-6, maxiter=240,
+                              t_start=0.0, record=None):
         """θ-scheme with implicit (Picard-linearized) convection per step
         (assemble_navierstokes2D_unsteady_picard, navierstokes.jl:840-1066).
-        """
+
+        ``method="fgmres"`` runs the whole span as one compiled scan with
+        flexible GMRES + the DCT-CG block-Schur preconditioner per Picard
+        sweep (fixed ``picard_iters``, no tolerance gating inside the
+        trace).  Implicit convection removes the AB2 cut-cell CFL limit
+        that destabilizes the explicit path on fine grids (256²-class DFG
+        runs blow up at rim cells regardless of solver tolerance).
+        ``t_start``/``record`` mirror :meth:`solve_unsteady` (chunked
+        warm-started runs, in-scan scalar recording)."""
         theta = 0.5 if scheme in ("CN", "cn") else 1.0
         base_rhs = self.make_unsteady_rhs(dt, theta)
         rho = self.fluid.rho
         rho_val = 1.0 if callable(rho) else float(rho)
         N = self.N
         x = x0 if x0 is not None else self.zero_state()
-        n_steps = int(np.ceil(t_end / dt - 1e-12))
+        n_steps = int(np.ceil((t_end - t_start) / dt - 1e-12))
+
+        if method == "fgmres":
+            from ..linsolve import fgmres
+            from .stokes import stokes_divergence
+
+            M = self.make_block_preconditioner(dt=dt, theta=theta,
+                                               schur="dct_cg",
+                                               schur_cg_iters=8)
+
+            def picard_apply(x_it, v):
+                uws_k = x_it[0:2 * N:2]
+                ugs_k = x_it[1:2 * N:2]
+                Kws = [self.conv_K(d, ugs_k) for d in range(N)]
+                uws = v[0:2 * N:2]
+                ugs = v[1:2 * N:2]
+                p = v[2 * N]
+                out = []
+                for d in range(N):
+                    mass = self.rho_diag[d] * self.fluid.operator_u[d].V / dt
+                    yw = (
+                        mass * uws[d]
+                        + theta * self._visc(d, uws[d], ugs[d])
+                        + theta * rho_val * self.conv_bulk(d, uws_k, uws[d])
+                        - 0.5 * theta * rho_val * Kws[d] * uws[d]
+                        + self._grad(d, p)
+                    )
+                    yw = jnp.where(self.u_active[d], yw, uws[d])
+                    yg = ugs[d]
+                    yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
+                    out += [yw, yg]
+                yp = stokes_divergence(self.fluid, uws, ugs)
+                yp = jnp.where(self.p_active, yp, p)
+                yp = self._gauge_fix(yp, p)
+                return tuple(out) + (yp,)
+
+            cache = getattr(self, "_picard_run_cache", None)
+            if cache is None:
+                cache = self._picard_run_cache = {}
+            key = (dt, theta, picard_iters, tol, maxiter, n_steps, record)
+            run = cache.get(key)
+            if run is None:
+                @jax.jit
+                def run(x0_, t0_):
+                    def body(xc, k):
+                        t = t0_ + k * dt
+                        b = base_rhs(xc, t, t + dt)
+                        x_it = xc
+                        for _ in range(picard_iters):
+                            x_it, its, rel = fgmres(
+                                lambda v, _x=x_it: picard_apply(_x, v),
+                                b, x_it, Minv=M, tol=tol, maxiter=maxiter,
+                                restart=40)
+                        rec = record(x_it) if record is not None else None
+                        return x_it, ((its, rel), rec)
+
+                    xf, aux = jax.lax.scan(
+                        body, x0_, jnp.arange(n_steps, dtype=jnp.float64))
+                    return xf, aux
+
+                cache[key] = run
+
+            self.x, ((its, rel), rec) = run(x, t_start)
+            self.krylov_iters = np.asarray(its)
+            self.krylov_relres = np.asarray(rel)
+            if record is not None:
+                self.record_log = jax.tree_util.tree_map(np.asarray, rec)
+            return self.x
+
         from ..linsolve import solve_linear
 
         for k in range(n_steps):
-            t = k * dt
+            t = t_start + k * dt
             b = base_rhs(x, t, t + dt)
             x_it = x
             for it in range(picard_iters):

@@ -637,7 +637,8 @@ class StokesMono:
     # UMFPACK, stokes.jl:1512-1567); this is the TPU-native replacement.
     # ------------------------------------------------------------------
     def make_block_preconditioner(self, dt=None, theta=1.0, cheb_iters=20,
-                                  lmin=None, lmax=None, conv_diag=None):
+                                  lmin=None, lmax=None, conv_diag=None,
+                                  schur="cheb", schur_cg_iters=25):
         """Returns ``M(r) -> z`` approximating the inverse of the
         (unsteady if ``dt`` given) Stokes operator.  ``conv_diag``: extra
         per-component momentum diagonal (Picard convection).
@@ -748,9 +749,83 @@ class StokesMono:
                 jax.errors.ConcretizationTypeError):
             pass  # traced bounds: keep the caller's fixed depth
 
+        self._schur_bounds = (lmin, lmax, cheb_iters)  # diagnostics
         th_c = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma = th_c / delta
+
+        if schur == "dct_cg":
+            # Constant-coefficient DCT-II Poisson surrogate of Lp as the
+            # inner-CG preconditioner: mesh-size-independent (one forward/
+            # inverse DCT per application, fast on TPU), exact for the
+            # uniform-coefficient Neumann Laplacian that Lp is away from
+            # the cut region and borders.  Jacobi-PCG needs ~sqrt(cond) ~
+            # O(n) iterations on an n² grid; with the DCT surrogate the
+            # inner iteration count is O(1) in mesh size (only the cut/
+            # border discrepancy remains for CG to correct).
+            from jax.scipy import fft as _jfft
+
+            ncell = tuple(s_ - 1 for s_ in mask.shape)  # strip padding slot
+            m_act = jnp.where(mask, 1.0, 0.0)
+            nact_s = jnp.maximum(jnp.sum(m_act), 1.0)
+            lam = jnp.zeros(ncell)
+            for d in range(N):
+                wbar = jnp.sum(coeff[d] * m_act) / nact_s
+                k = jnp.arange(ncell[d])
+                shp = [1] * N
+                shp[d] = ncell[d]
+                lam = lam + wbar * 2.0 * (
+                    1.0 - jnp.cos(jnp.pi * k / ncell[d])).reshape(shp)
+            lam = jnp.where(lam <= 0.0, 1.0, lam)  # zero mode: deflated
+
+            core = tuple(slice(0, nc) for nc in ncell)
+
+            def dct_inv(s):
+                sc = s[core]
+                for d in range(N):
+                    sc = _jfft.dct(sc, type=2, norm="ortho", axis=d)
+                sc = sc / lam
+                sc = sc.at[(0,) * N].set(0.0)
+                for d in range(N):
+                    sc = _jfft.idct(sc, type=2, norm="ortho", axis=d)
+                out = jnp.zeros_like(s)
+                out = out.at[core].set(sc)
+                return _deflate(out)
+
+            inner_prec = dct_inv
+        else:
+            def inner_prec(r):
+                return dLp_inv * r
+
+        def schur_cg(bp):
+            """~Lp⁻¹ bp by ``schur_cg_iters`` PCG steps (Jacobi or DCT
+            preconditioner) on the deflated active set.  NONLINEAR in bp —
+            use only under a flexible outer Krylov method
+            (``linsolve.fgmres``).  Unlike Chebyshev it needs no spectral
+            bounds, which matters on geometries where the power-iteration
+            lmin estimate is far off (measured on the DFG channel: the
+            deflated spectrum reaches ~50x below the 16-step
+            power-iteration Ritz value and the mistuned Chebyshev then
+            amplifies those modes — outer GMRES stalls at relres ~2e-1)."""
+            r = bp
+            x = jnp.zeros_like(bp)
+            z = inner_prec(r)
+            p_ = z
+            rz = jnp.vdot(r, z).real
+            for _ in range(schur_cg_iters):
+                Ap_ = _deflate(Lp(p_))
+                pAp = jnp.vdot(p_, Ap_).real
+                alpha = rz / jnp.where(pAp <= 0.0, 1.0, pAp)
+                alpha = jnp.where(pAp <= 0.0, 0.0, alpha)
+                x = x + alpha * p_
+                r = r - alpha * Ap_
+                z = inner_prec(r)
+                rz_new = jnp.vdot(r, z).real
+                beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+                beta = jnp.where(rz == 0.0, 0.0, beta)
+                rz = rz_new
+                p_ = z + beta * p_
+            return x
 
         def cheb(bp):
             """~Lp⁻¹ bp by Chebyshev on the Jacobi-scaled operator (linear
@@ -784,7 +859,8 @@ class StokesMono:
             # amplify it cosh-fast); route that component through a bounded
             # identity instead — the pin/gauge rows own the level anyway
             mean_s = jnp.sum(jnp.where(mask, s, 0.0)) / nact
-            zp = -(cheb(_deflate(s))
+            solve_s = schur_cg if schur in ("cg", "dct_cg") else cheb
+            zp = -(solve_s(_deflate(s))
                    + (mean_s / jnp.maximum(lmax, 1e-30))
                    * jnp.where(mask, 1.0, 0.0))
             zp = jnp.where(self.p_active, zp, rp)
