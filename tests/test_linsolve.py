@@ -98,3 +98,59 @@ def test_row_equilibrated_pgmres_beats_raw_scaling():
     x, it, res = pgmres(lambda v: As @ v, b, jnp.zeros(n), Minv=Minv,
                         tol=1e-12, maxiter=600, restart=30)
     assert np.abs(np.asarray(x - xt)).max() < 1e-6
+
+
+def test_fgmres_flexible_preconditioner():
+    """fgmres must converge with a NONLINEAR preconditioner (inner CG) —
+    the case plain pgmres is not allowed to handle — and report the true
+    residual norm."""
+    from penguin_tpu.linsolve import fgmres
+
+    n = 120
+    A = (4.0 * jnp.eye(n)
+         + 0.6 * jax.random.normal(jax.random.PRNGKey(3), (n, n)) / np.sqrt(n))
+    xt = jax.random.normal(jax.random.PRNGKey(4), (n,))
+    b = A @ xt
+
+    def inner_cg(r, iters=5):
+        # crude inner CG on the normal equations view: nonlinear in r
+        x = jnp.zeros_like(r)
+        p = r.copy()
+        rr = jnp.dot(r, r)
+        rc = r
+        for _ in range(iters):
+            Ap = A @ p
+            alpha = rr / jnp.maximum(jnp.dot(p, Ap), 1e-30)
+            x = x + alpha * p
+            rc = rc - alpha * Ap
+            rr_new = jnp.dot(rc, rc)
+            p = rc + (rr_new / jnp.maximum(rr, 1e-30)) * p
+            rr = rr_new
+        return x
+
+    x, it, res = fgmres(lambda v: A @ v, b, jnp.zeros(n), Minv=inner_cg,
+                        tol=1e-10, maxiter=300, restart=30)
+    assert np.abs(np.asarray(x - xt)).max() < 1e-7
+    true_res = np.linalg.norm(np.asarray(A @ x - b)) / np.linalg.norm(np.asarray(b))
+    assert abs(float(res) - true_res) < 1e-8 + 0.5 * true_res
+
+
+def test_fgmres_matches_pgmres_linear_preconditioner():
+    """With a LINEAR (diagonal) preconditioner both solvers must reach the
+    same solution."""
+    from penguin_tpu.linsolve import fgmres
+
+    n = 90
+    A = (3.0 * jnp.eye(n)
+         + 0.4 * jax.random.normal(jax.random.PRNGKey(5), (n, n)) / np.sqrt(n))
+    xt = jax.random.normal(jax.random.PRNGKey(6), (n,))
+    b = A @ xt
+    dinv = 1.0 / jnp.diagonal(A)
+
+    xf, _, _ = fgmres(lambda v: A @ v, b, jnp.zeros(n),
+                      Minv=lambda r: dinv * r, tol=1e-12, maxiter=400,
+                      restart=30)
+    xp, _, _ = pgmres(lambda v: A @ v, b, jnp.zeros(n), Minv=dinv,
+                      tol=1e-12, maxiter=400, restart=30)
+    assert np.abs(np.asarray(xf - xt)).max() < 1e-8
+    assert np.abs(np.asarray(xp - xt)).max() < 1e-8
