@@ -246,3 +246,46 @@ def test_cylinder_drag_diagnostics():
     assert Fx1 > 0, Fx1
     assert abs(Fy1) < 0.05 * abs(Fx1)        # symmetric: no lift
     assert abs(Fx2 / Fx1 - 2.0) < 0.05, Fx2 / Fx1  # Stokes: F ~ mu
+
+
+def test_unsteady_picard_fgmres_matches_dense():
+    """The compiled-scan implicit-Picard path (fgmres + DCT-CG Schur
+    preconditioner) must reproduce the host-loop dense-solve stepper."""
+    n, L = 12, 1.0
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    d = L / n
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    body = pt.geometry.full_domain(2)
+    caps = [pt.compute_capacity(body, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=1e-2, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    lid = pt.Dirichlet(lambda x, y, t=0.0: 1.0)
+    noslip = pt.Dirichlet(0.0)
+    bc_ux = pt.BorderConditions({"left": noslip, "right": lid,
+                                 "bottom": noslip, "top": noslip})
+    bc_uy = pt.BorderConditions({k: noslip
+                                 for k in ("left", "right", "bottom", "top")})
+
+    def make():
+        return NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                                pt.Dirichlet(0.0))
+
+    dt = 0.02
+    a = make()
+    xa = a.solve_unsteady_picard(dt, 3 * dt, scheme="BE", picard_iters=3,
+                                 picard_tol=0.0, method="lstsq")
+    b = make()
+    xb = b.solve_unsteady_picard(dt, 3 * dt, scheme="BE", picard_iters=3,
+                                 method="fgmres", tol=1e-12, maxiter=400)
+    for p, q in zip(xa, xb):
+        assert np.abs(np.asarray(p) - np.asarray(q)).max() < 1e-8
+    assert (np.asarray(b.krylov_relres) < 1e-10).all()
