@@ -134,8 +134,18 @@ def _face_open_fraction(V_cells, full_vol, d, n, dtype):
     g = t * t * (3.0 - 2.0 * t)  # smoothstep
     one_plane_shape = tuple(1 if i == d else n[i] for i in range(N))
     ones_plane = jnp.ones(one_plane_shape, dtype)
-    lo_g = jnp.concatenate([ones_plane, g], axis=d)       # cell k-1 at face k
-    hi_g = jnp.concatenate([g, ones_plane], axis=d)       # cell k at face k
+    # border faces (slots 0 and n[d]) carry ones on BOTH sides so they stay
+    # fully open per the invariant above: a grazing body can leave a wet
+    # border face on a sliver cell, and gating it would silently cut the
+    # prescribed border flux (Neumann mass-conservation identity)
+    drop_last = tuple(slice(0, -1) if i == d else slice(None)
+                      for i in range(N))
+    drop_first = tuple(slice(1, None) if i == d else slice(None)
+                       for i in range(N))
+    lo_g = jnp.concatenate([ones_plane, g[drop_last], ones_plane],
+                           axis=d)                        # cell k-1 at face k
+    hi_g = jnp.concatenate([ones_plane, g[drop_first], ones_plane],
+                           axis=d)                        # cell k at face k
     return lo_g * hi_g
 
 
@@ -153,6 +163,43 @@ _CARRIER_REL_TOL = 1e-10
 def _is_traced(x):
     return any(isinstance(l, jax.core.Tracer)
                for l in jax.tree_util.tree_leaves(x))
+
+
+def _gamma_from_apertures(A, is_empty, is_cut, full_vol, lo, hi, n, dtype):
+    """Interface measure from the aperture-divergence identity, shared by
+    the dense and narrow-band capacity paths.
+
+    A cell CARRIES interface closure wherever its aperture divergence is
+    nonzero — not only where the volume classification says 'cut'.  At a
+    grazing face the volume quadrature can see a cell as exactly full
+    while the (finer, lower-dimensional) face quadrature resolves a
+    partial aperture; without a Gamma row there, the H coupling pulls
+    the cell toward the masked-to-zero gamma DOF of its neighbor and the
+    DISCRETE system loses constant-state exactness (measured: u == 1
+    off by up to 16% on grazing disks, with errors GROWING under
+    refinement).  Promoting aperture-divergence carriers to cut cells
+    restores the G·1 + H·1 = 0 identity exactly.
+
+    Returns ``(is_cut, cell_types, Gamma_cells)``."""
+    N = len(n)
+    S2 = jnp.zeros(n, dtype)
+    for d in range(N):
+        sl0 = [slice(0, n[i]) for i in range(N)]
+        sl1 = [slice(0, n[i]) for i in range(N)]
+        sl1[d] = slice(1, n[d] + 1)
+        Sd = A[d][tuple(sl0)] - A[d][tuple(sl1)]
+        S2 = S2 + Sd * Sd
+    face_meas = jnp.zeros(n, dtype)
+    for d in range(N):
+        face_meas = jnp.maximum(
+            face_meas, jnp.broadcast_to(full_vol / (hi[d] - lo[d]), n))
+    carrier = (~is_empty) & (S2 > (_CARRIER_REL_TOL * face_meas) ** 2)
+    is_cut = is_cut | carrier
+    cell_types = jnp.where(is_empty, 0,
+                           jnp.where(is_cut, -1, 1)).astype(jnp.int8)
+    Gamma_cells = jnp.where(
+        is_cut, jnp.sqrt(jnp.where(is_cut, S2, 1.0)), 0.0)
+    return is_cut, cell_types, Gamma_cells
 
 
 def _round_budget(count, ncells):
@@ -540,35 +587,8 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
         W.append(_pad_cells(Wd, np_shape))
 
     # --- interface measure Gamma (divergence identity) -----------------------
-    S2 = jnp.zeros(n, dtype)
-    for d in range(N):
-        sl0 = [slice(0, n[i]) for i in range(N)]
-        sl1 = [slice(0, n[i]) for i in range(N)]
-        sl1[d] = slice(1, n[d] + 1)
-        Ad = A[d]
-        Sd = Ad[tuple(sl0)] - Ad[tuple(sl1)]
-        S2 = S2 + Sd * Sd
-    # A cell CARRIES interface closure wherever its aperture divergence is
-    # nonzero — not only where the volume classification says 'cut'.  At a
-    # grazing face the volume quadrature can see a cell as exactly full
-    # while the (finer, lower-dimensional) face quadrature resolves a
-    # partial aperture; without a Gamma row there, the H coupling pulls
-    # the cell toward the masked-to-zero gamma DOF of its neighbor and the
-    # DISCRETE system loses constant-state exactness (measured: u == 1
-    # off by up to 16% on grazing disks, with errors GROWING under
-    # refinement).  Promoting aperture-divergence carriers to cut cells
-    # restores the G·1 + H·1 = 0 identity exactly.
-    face_meas = jnp.zeros(n, dtype)
-    for d in range(N):
-        face_meas = jnp.maximum(
-            face_meas, jnp.broadcast_to(full_vol / (hi[d] - lo[d]), n))
-    carrier = (~is_empty) & (S2 > (_CARRIER_REL_TOL * face_meas) ** 2)
-    is_cut = is_cut | carrier
-    cell_types = jnp.where(is_empty, 0,
-                           jnp.where(is_cut, -1, 1)).astype(jnp.int8)
-    Gamma_cells = jnp.where(
-        is_cut, jnp.sqrt(jnp.where(is_cut, S2, 1.0)), 0.0
-    )
+    is_cut, cell_types, Gamma_cells = _gamma_from_apertures(
+        A, is_empty, is_cut, full_vol, lo, hi, n, dtype)
 
     # --- interface centroids: closest-point projection of cell centers ------
     if compute_centroids:
@@ -753,25 +773,8 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         W.append(_pad_cells(jnp.pad(Wd, pad), np_shape))
 
     # --- interface measure Gamma (divergence identity, dense & cheap) -------
-    S2 = jnp.zeros(n, dtype)
-    for d in range(N):
-        sl0 = [slice(0, n[i]) for i in range(N)]
-        sl1 = [slice(0, n[i]) for i in range(N)]
-        sl1[d] = slice(1, n[d] + 1)
-        Sd = A[d][tuple(sl0)] - A[d][tuple(sl1)]
-        S2 = S2 + Sd * Sd
-    # promote aperture-divergence carriers to cut cells (see the dense
-    # path): grazing-face cells classified full by volume must still get
-    # a Gamma row or constants leak through their masked gamma DOFs
-    face_meas = jnp.zeros(n, dtype)
-    for d in range(N):
-        face_meas = jnp.maximum(
-            face_meas, jnp.broadcast_to(full_vol / (hi[d] - lo[d]), n))
-    carrier = (~is_empty) & (S2 > (_CARRIER_REL_TOL * face_meas) ** 2)
-    is_cut = is_cut | carrier
-    cell_types = jnp.where(is_empty, 0,
-                           jnp.where(is_cut, -1, 1)).astype(jnp.int8)
-    Gamma_cells = jnp.where(is_cut, jnp.sqrt(jnp.where(is_cut, S2, 1.0)), 0.0)
+    is_cut, cell_types, Gamma_cells = _gamma_from_apertures(
+        A, is_empty, is_cut, full_vol, lo, hi, n, dtype)
 
     # --- interface centroids: closest-point projection, band only -----------
     if compute_centroids:

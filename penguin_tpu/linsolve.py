@@ -508,13 +508,23 @@ class KrylovSolver:
             return x
         if x0 is None:
             x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+        # the in-house solvers converge on relres <= tol (floored at 8*eps
+        # of the working dtype by _guards — tol=0 therefore means "to
+        # rounding noise", not "exactly maxiter").  jax.scipy's absolute
+        # criterion max(tol*||b||, atol) maps onto that as a tol bump.
+        tol_eff = self.tol
+        if self.atol:
+            flat_b, _ = ravel_pytree(b)
+            bnorm = jnp.maximum(jnp.linalg.norm(flat_b),
+                                float(jnp.finfo(flat_b.dtype).tiny))
+            tol_eff = jnp.maximum(tol_eff, self.atol / bnorm)
         if self.method in ("cg", "pcg"):
             # in-house pytree CG: jax.scipy's cg NaNs on rho-breakdown
-            x, _, _ = pcg(self.apply_fn, b, x0, Minv=self.M, tol=self.tol,
+            x, _, _ = pcg(self.apply_fn, b, x0, Minv=self.M, tol=tol_eff,
                           maxiter=self.maxiter or 2000)
         elif self.method in ("bicgstab", "pbicgstab"):
             x, _, _ = pbicgstab(self.apply_fn, b, x0, Minv=self.M,
-                                tol=self.tol, maxiter=self.maxiter or 2000)
+                                tol=tol_eff, maxiter=self.maxiter or 2000)
         elif self.method == "gmres":
             x, _ = gmres(self.apply_fn, b, x0=x0, solve_method="batched",
                          tol=self.tol, atol=self.atol, maxiter=self.maxiter,

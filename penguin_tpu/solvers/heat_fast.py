@@ -151,6 +151,9 @@ class FastHeatBE:
             Xp = -(-X // tile_x) * tile_x
             Yp = -(-Y // 8) * 8
             Zp = -(-Z // 128) * 128
+            # the kernel requires Yp % tile_y == 0 (tile_y % 8 == 0): pick
+            # the largest admissible tile ≤ 64 rather than assuming 64
+            tile_y = next(t for t in range(64, 0, -8) if Yp % t == 0)
             self._pad3 = ((0, Xp - X), (0, Yp - Y), (0, Zp - Z))
 
             def padded(a, const=0.0):
@@ -162,7 +165,8 @@ class FastHeatBE:
 
             def matvec_pl(xp):
                 return stencil7_matvec(ccp, cms[0], cps[0], cms[1], cps[1],
-                                       cms[2], cps[2], xp, tile_x=tile_x)
+                                       cms[2], cps[2], xp, tile_x=tile_x,
+                                       tile_y=tile_y)
 
             self._matvec_inner = matvec_pl
             self._pad = padded

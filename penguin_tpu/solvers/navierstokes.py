@@ -37,8 +37,8 @@ class NavierStokesMono(StokesMono):
     # convection operators (matrix-free)
     # ------------------------------------------------------------------
     def _conv_outflow_masks(self, d):
-        """Last-live-plane masks (one per own-axis high-side Outflow
-        border) on component d's grid, built once per instance."""
+        """Outlet-plane masks (one per own-axis Outflow border, either
+        side) on component d's grid, built once per instance."""
         masks = getattr(self, "_conv_out_masks", None)
         if masks is None:
             from ..boundary import Outflow as _Out
@@ -52,17 +52,18 @@ class NavierStokesMono(StokesMono):
                     if not isinstance(cond, _Out) or key not in keymap:
                         continue
                     axis, side = keymap[key]
-                    if axis != c or side != 1:
+                    if axis != c:
                         continue
                     shape = self.fluid.mesh_u[c].np_shape
                     m = np.zeros(shape, bool)
                     sl = [slice(None)] * len(shape)
-                    sl[axis] = self.fluid.mesh_u[c].n[axis] - 1
+                    sl[axis] = 0 if side == 0 else \
+                        self.fluid.mesh_u[c].n[axis] - 1
                     m[tuple(sl)] = True
                     # cache the NUMPY mask: this getter can first run inside
                     # a jit trace, and a jnp constant created there leaks
                     # that trace's tracer into later traces via the cache
-                    items.append((axis, m))
+                    items.append((axis, side, m))
                 masks.append(tuple(items))
             self._conv_out_masks = masks
         return masks[d]
@@ -78,13 +79,20 @@ class NavierStokesMono(StokesMono):
         DFG channel that reflected the convected front when it reached the
         outlet (t ≈ 0.6) and blew up the run; the one-sided form lets it
         leave transparently."""
-        from ..operators import _shift_m
+        from ..operators import _shift_m, _shift_p
 
         A = self.fluid.capacity_u[d].A
         own_g = sm(A[d] * uw_all[d], d) * sm(q, d)
         out = dp(own_g, d)
-        for axis, mask in self._conv_outflow_masks(d):
-            out = jnp.where(mask, own_g - _shift_m(own_g, axis), out)
+        for axis, side, mask in self._conv_outflow_masks(d):
+            if side == 1:      # high-side outlet: backward one-sided diff
+                repl = own_g - _shift_m(own_g, axis)
+            else:              # low-side outlet: forward one-sided diff,
+                # shifted one face inward (own_g[0] is the truncated
+                # quarter-flux face, own_g[2]-own_g[1] avoids it)
+                s1 = _shift_p(own_g, axis)
+                repl = _shift_p(s1, axis) - s1
+            out = jnp.where(mask, repl, out)
         for j in range(self.N):
             if j == d:
                 continue
@@ -129,8 +137,6 @@ class NavierStokesMono(StokesMono):
         DFG run).  Chunk boundaries restart the AB2 extrapolation with one
         AB1 step."""
         theta = 0.5 if scheme in ("CN", "cn") else 1.0
-        apply_fn = self.make_unsteady_apply(dt, theta)
-        base_rhs = self.make_unsteady_rhs(dt, theta)
         rho = self.fluid.rho
         rho_val = 1.0 if callable(rho) else float(rho)
         N = self.N
@@ -140,77 +146,78 @@ class NavierStokesMono(StokesMono):
         nflat = sum(int(np.prod(np.asarray(u.shape))) for u in x)
         if method == "auto":
             method = "direct" if nflat <= 12000 else "pbicgstab"
-
-        telemetry = False
-        if method == "direct":
-            factor = DenseFactorSolver(apply_fn, x)
-            lin_solve = factor.solve
-        elif method == "pbicgstab":
-            from ..linsolve import pbicgstab
-
-            M = self.make_block_preconditioner(dt=dt, theta=theta)
-            telemetry = True
-
-            def lin_solve(b, x0_=None):
-                return pbicgstab(apply_fn, b, x0_, Minv=M, tol=tol,
-                                 maxiter=maxiter or 400)
-        elif method == "pgmres":
-            # restarted GMRES with the block-Schur preconditioner: the
-            # robust choice when BiCGStab breaks down on the cut-cell
-            # saddle point (observed on the DFG channel-cylinder system
-            # in f32: BiCGStab overflows at ~110 its, GMRES(60) converges)
-            from ..linsolve import pgmres
-
-            M = self.make_block_preconditioner(dt=dt, theta=theta)
-            telemetry = True
-
-            def lin_solve(b, x0_=None):
-                return pgmres(apply_fn, b, x0_, Minv=M, tol=tol,
-                              maxiter=maxiter or 400, restart=60)
-        elif method == "fgmres":
-            # flexible GMRES with an inner-CG Schur solve: no spectral
-            # bounds, so it survives geometries where the Chebyshev bound
-            # estimate mistunes (e.g. the 256x128 DFG channel, where
-            # pgmres stalls at relres ~1e-2 and the run blows up)
-            from ..linsolve import fgmres
-
-            M = self.make_block_preconditioner(dt=dt, theta=theta,
-                                               schur="cg",
-                                               schur_cg_iters=50)
-            telemetry = True
-
-            def lin_solve(b, x0_=None):
-                return fgmres(apply_fn, b, x0_, Minv=M, tol=tol,
-                              maxiter=maxiter or 400, restart=40)
-        else:
-            from jax.scipy.sparse.linalg import gmres
-
-            M = (self.make_block_preconditioner(dt=dt, theta=theta)
-                 if method == "pgmres" else None)
-
-            def lin_solve(b, x0_=None):
-                xs, _ = gmres(apply_fn, b, x0=x0_, tol=tol, M=M,
-                              maxiter=maxiter or 2000, solve_method="batched")
-                return xs
-
-        def full_rhs(xc, conv_c, conv_p, first, t):
-            extra = tuple(
-                -rho_val * jnp.where(first, conv_c[d],
-                                     1.5 * conv_c[d] - 0.5 * conv_p[d])
-                for d in range(N)
-            )
-            return base_rhs(xc, t, t + dt, extra_mom=extra)
+        telemetry = method in ("pbicgstab", "pgmres", "fgmres")
 
         # compiled-scan cache: chunked runs (same n_steps, varying t_start)
         # reuse one executable — t_start is a traced argument.  The key
         # holds the record fn object itself (keeps it alive: no GC id
-        # reuse).
+        # reuse).  Everything the scan closes over (operators, rhs,
+        # preconditioner, dense LU) is built ONLY on a cache miss: a warm
+        # chunk must not pay the eager power-iteration / factorization
+        # setup again just to discard it.
         cache = getattr(self, "_unsteady_run_cache", None)
         if cache is None:
             cache = self._unsteady_run_cache = {}
         key = (dt, theta, method, tol, maxiter, n_steps, record)
         run = cache.get(key)
         if run is None:
+            apply_fn = self.make_unsteady_apply(dt, theta)
+            base_rhs = self.make_unsteady_rhs(dt, theta)
+            if method == "direct":
+                factor = DenseFactorSolver(apply_fn, x)
+                lin_solve = factor.solve
+            elif method == "pbicgstab":
+                from ..linsolve import pbicgstab
+
+                M = self.make_block_preconditioner(dt=dt, theta=theta)
+
+                def lin_solve(b, x0_=None):
+                    return pbicgstab(apply_fn, b, x0_, Minv=M, tol=tol,
+                                     maxiter=maxiter or 400)
+            elif method == "pgmres":
+                # restarted GMRES with the block-Schur preconditioner: the
+                # robust choice when BiCGStab breaks down on the cut-cell
+                # saddle point (observed on the DFG channel-cylinder system
+                # in f32: BiCGStab overflows at ~110 its, GMRES(60)
+                # converges)
+                from ..linsolve import pgmres
+
+                M = self.make_block_preconditioner(dt=dt, theta=theta)
+
+                def lin_solve(b, x0_=None):
+                    return pgmres(apply_fn, b, x0_, Minv=M, tol=tol,
+                                  maxiter=maxiter or 400, restart=60)
+            elif method == "fgmres":
+                # flexible GMRES with an inner-CG Schur solve: no spectral
+                # bounds, so it survives geometries where the Chebyshev
+                # bound estimate mistunes (e.g. the 256x128 DFG channel,
+                # where pgmres stalls at relres ~1e-2 and the run blows up)
+                from ..linsolve import fgmres
+
+                M = self.make_block_preconditioner(dt=dt, theta=theta,
+                                                   schur="cg",
+                                                   schur_cg_iters=50)
+
+                def lin_solve(b, x0_=None):
+                    return fgmres(apply_fn, b, x0_, Minv=M, tol=tol,
+                                  maxiter=maxiter or 400, restart=40)
+            else:
+                from jax.scipy.sparse.linalg import gmres
+
+                def lin_solve(b, x0_=None):
+                    xs, _ = gmres(apply_fn, b, x0=x0_, tol=tol, M=None,
+                                  maxiter=maxiter or 2000,
+                                  solve_method="batched")
+                    return xs
+
+            def full_rhs(xc, conv_c, conv_p, first, t):
+                extra = tuple(
+                    -rho_val * jnp.where(first, conv_c[d],
+                                         1.5 * conv_c[d] - 0.5 * conv_p[d])
+                    for d in range(N)
+                )
+                return base_rhs(xc, t, t + dt, extra_mom=extra)
+
             @jax.jit
             def run(x0_, t0_):
                 conv0 = self.conv_vectors(x0_)
@@ -275,10 +282,6 @@ class NavierStokesMono(StokesMono):
             from ..linsolve import fgmres
             from .stokes import stokes_divergence
 
-            M = self.make_block_preconditioner(dt=dt, theta=theta,
-                                               schur="dct_cg",
-                                               schur_cg_iters=8)
-
             def picard_apply(x_it, v):
                 uws_k = x_it[0:2 * N:2]
                 ugs_k = x_it[1:2 * N:2]
@@ -311,6 +314,12 @@ class NavierStokesMono(StokesMono):
             key = (dt, theta, picard_iters, tol, maxiter, n_steps, record)
             run = cache.get(key)
             if run is None:
+                # eager setup (power iteration + DCT plan) only on a miss —
+                # warm chunks reuse the executable and its closed-over M
+                M = self.make_block_preconditioner(dt=dt, theta=theta,
+                                                   schur="dct_cg",
+                                                   schur_cg_iters=8)
+
                 @jax.jit
                 def run(x0_, t0_):
                     def body(xc, k):

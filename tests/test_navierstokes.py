@@ -289,3 +289,36 @@ def test_unsteady_picard_fgmres_matches_dense():
     for p, q in zip(xa, xb):
         assert np.abs(np.asarray(p) - np.asarray(q)).max() < 1e-8
     assert (np.asarray(b.krylov_relres) < 1e-10).all()
+
+
+def test_outflow_convection_transparent_both_sides():
+    """Plug flow through an own-axis Outflow outlet must have ZERO
+    convective divergence on the outlet plane, on BOTH sides.  The
+    centered flux-form stencil sees the structurally zeroed padding plane
+    (a 75%-blocked wall); conv_bulk replaces it with a one-sided
+    difference — round 3 fixed the high side (the DFG blow-up) and this
+    gate pins the mirrored low-side outlet too."""
+    n = 12
+    fluid, (mesh_ux, mesh_uy) = _tg_fluid(n, L=1.0)
+    wall = pt.Dirichlet(0.0)
+
+    def conv_at_outlet(out_key, in_key, sgn):
+        bc_ux = pt.BorderConditions({out_key: pt.Outflow(),
+                                     in_key: pt.Dirichlet(sgn),
+                                     "bottom": wall, "top": wall})
+        bc_uy = pt.BorderConditions({out_key: pt.Outflow(), in_key: wall,
+                                     "bottom": wall, "top": wall})
+        s = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                             pt.Dirichlet(0.0))
+        uwx = jnp.full(mesh_ux.np_shape, float(sgn))
+        uwy = jnp.zeros(mesh_uy.np_shape)
+        conv = np.asarray(s.conv_bulk(0, (uwx, uwy), uwx))
+        plane = 0 if out_key == "left" else mesh_ux.n[0] - 1
+        return conv[plane, 1:-1]
+
+    # high-side outlet (flow ->): round-3 reference behavior
+    hi = conv_at_outlet("right", "left", +1.0)
+    np.testing.assert_allclose(hi, 0.0, atol=1e-12)
+    # low-side outlet (flow <-): previously saw the quarter-flux wall
+    lo = conv_at_outlet("left", "right", -1.0)
+    np.testing.assert_allclose(lo, 0.0, atol=1e-12)

@@ -78,3 +78,29 @@ def test_clamp_merge_improves_conditioning():
     # removal also conditions, at the cost of volume conservation
     cap3 = remove_small_volumes(cap, tol)
     assert _cond_of(cap3) < c_before / 4
+
+
+def test_face_gate_border_faces_stay_open():
+    """_face_open_fraction invariant (capacity.py): faces on the domain
+    border (slots 0 and n[d]) stay fully open even when the adjacent cell
+    is a sub-threshold sliver — the border-condition rows own those faces,
+    and gating them would silently cut a prescribed border flux.  Round-3
+    regression: the gate used the single adjacent cell at the border."""
+    import jax.numpy as jnp
+    from penguin_tpu.capacity import _face_open_fraction
+
+    n = (4, 3)
+    V = np.ones(n)
+    V[0, :] = 1e-4      # sliver column against the low-x border
+    V[-1, 1] = 0.0      # empty cell against the high-x border
+    g = np.asarray(_face_open_fraction(jnp.asarray(V), 1.0, 0, n,
+                                       jnp.float64))
+    assert g.shape == (n[0] + 1, n[1])
+    # border faces fully open regardless of the adjacent cell state
+    np.testing.assert_allclose(g[0, :], 1.0)
+    np.testing.assert_allclose(g[-1, :], 1.0)
+    # interior face against the sliver is attenuated, against the empty
+    # cell exactly closed, between full cells fully open
+    assert (g[1, :] < 0.05).all()
+    assert g[3, 1] == 0.0
+    np.testing.assert_allclose(g[2, :], 1.0)
