@@ -23,6 +23,7 @@ __all__ = [
     "clamp_merge_small_cells",
     "adapt_timestep",
     "volume_redefinition",
+    "moment_consistent_W",
 ]
 
 
@@ -240,3 +241,48 @@ def volume_redefinition(capacity, ops):
     g2 = ops.grad(q_o, q_g)
     V_new = ops.div(g2, g2)
     return dataclasses.replace(capacity, W=W_new, V=V_new)
+
+
+def moment_consistent_W(capacity, ops=None):
+    """N-D generalization of the reference's 1D ``volume_redefinition!``
+    (utils.jl:134-158): rebuild each staggered volume ``W[d]`` so the
+    discrete cut-cell gradient is EXACT on fields linear along axis ``d``.
+
+    The flux along ``d`` is ``q_d = Wꜝ_d (G_d uω + H_d uγ)`` with values
+    sampled at cell centroids (uω) and interface centroids (uγ).  Feeding
+    the coordinate field ``u = x_d`` through the numerator yields the
+    effective gradient arm
+
+        N_d = G_d(C_ω·e_d) + H_d(C_γ·e_d)
+
+    which in fully wet regions equals the standard staggered volume and
+    near the interface equals the centroid-to-interface moment that a
+    one-sided sub-cell stencil (Gibou-style ghost value) would use.
+    Replacing ``W[d] := N_d`` removes the O(h) wall-placement bias of cut
+    momentum/diffusion rows on inclined and curved interfaces (the flat
+    axis-aligned wall is already exact with the plain quadrature W).
+
+    Slots where the correction is degenerate (``N_d <= 0`` — possible on
+    grazing slivers where centroids cross) keep the quadrature value.
+    Returns a new Capacity.
+    """
+    if ops is None:
+        from .operators import make_diffusion_ops
+
+        ops = make_diffusion_ops(capacity)
+    N = capacity.ndim
+    W_new = []
+    for d in range(N):
+        p_o = capacity.C_om[..., d]
+        p_g = capacity.C_ga[..., d]
+        arm = ops.grad(p_o, p_g)[d] * capacity.W[d]
+        w_q = capacity.W[d]
+        # slot k pairs cells (k-1, k); slot 0 is the border half-stencil
+        # (dm(x)[0] = x[0], no difference is formed — the "arm" there would
+        # carry the absolute coordinate) and the last slot is padding:
+        # keep the quadrature W on both
+        idx = jnp.arange(w_q.shape[d]).reshape(
+            tuple(-1 if i == d else 1 for i in range(w_q.ndim)))
+        interior = (idx > 0) & (idx < w_q.shape[d] - 1)
+        W_new.append(jnp.where(interior & (arm > 0) & (w_q > 0), arm, w_q))
+    return dataclasses.replace(capacity, W=tuple(W_new))
