@@ -105,11 +105,25 @@ class BorderBC:
     ``rhs(b, t)``   : overwrite rhs entries at border cells.
     """
 
-    def __init__(self, mesh, bc_b, phase_mask=None):
+    def __init__(self, mesh, bc_b, phase_mask=None, capacity=None):
         self.mesh = mesh
         self.items = []
         cell_masks = classify_border_cells(mesh)
         pos = border_positions(mesh)
+        if capacity is not None:
+            # Evaluate border values at the WET-CELL CENTROID instead of the
+            # cell center: the border row ties the DOF, and the DOF's
+            # semantics is centroid-valued.  For full cells centroid ==
+            # center exactly; for CUT border cells (an interface crossing
+            # the domain border) the center evaluation mis-places the
+            # Dirichlet datum by O(h) — measured on an inclined-wall strip
+            # with a linear manufactured solution, the dominant error sat
+            # exactly on those cells.  (The reference keeps cell centers,
+            # src/solver.jl:379-409 + mesh.jl:52-71 — this is a deliberate
+            # accuracy improvement, opt-in per solver via ``capacity``.)
+            wet = capacity.V > 0
+            pos = [jnp.where(wet, capacity.C_om[..., d], pos[d])
+                   for d in range(mesh.ndim)]
         for key, cond in bc_b.borders:
             if key not in cell_masks:
                 continue
@@ -157,8 +171,8 @@ class BorderBC:
         return b
 
 
-def border_info(mesh, bc_b, phase_mask=None):
-    return BorderBC(mesh, bc_b, phase_mask)
+def border_info(mesh, bc_b, phase_mask=None, capacity=None):
+    return BorderBC(mesh, bc_b, phase_mask, capacity)
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ class AdvectionDiffusionSteadyMono(_ScalarSolverBase):
         ia, ib = build_I_bc(bc_i)
         Id = coefficient_diag(phase.diffusion, cap)
         masks = scalar_masks(conv, cap.Gamma, ia, ib, steady=True, conv=conv)
-        border = border_info(cap.mesh, bc_b)
+        border = border_info(cap.mesh, bc_b, capacity=cap)
         self.capacity = cap
         self.apply = mono_apply_fn(conv, Id, cap.Gamma, ia, ib, border=border,
                                    masks=masks, conv=conv)
@@ -62,7 +62,7 @@ class AdvectionDiffusionUnsteadyMono(_ScalarSolverBase):
         ia, ib = build_I_bc(bc_i)
         Id = coefficient_diag(phase.diffusion, cap)
         masks = scalar_masks(conv, cap.Gamma, ia, ib, steady=False, conv=conv)
-        border = border_info(cap.mesh, bc_b)
+        border = border_info(cap.mesh, bc_b, capacity=cap)
         self.capacity = cap
         self.dt = float(dt)
         self.u0 = u0
@@ -119,8 +119,8 @@ class AdvectionDiffusionSteadyDiph(_ScalarSolverBase):
         masks = diph_masks(c1, c2, cap1.Gamma, cap2.Gamma, sj.alpha1,
                            sj.alpha2, fj.beta1, fj.beta2, steady=True,
                            conv1=c1, conv2=c2)
-        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0)
-        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0)
+        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0, capacity=cap1)
+        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0, capacity=cap2)
         self.capacity, self.capacity2 = cap1, cap2
         self.apply = diph_apply_fn(c1, c2, Id1, Id2, ic, border1=border1,
                                    border2=border2, masks=masks, conv1=c1,
@@ -146,8 +146,8 @@ class AdvectionDiffusionUnsteadyDiph(_ScalarSolverBase):
         masks = diph_masks(c1, c2, cap1.Gamma, cap2.Gamma, sj.alpha1,
                            sj.alpha2, fj.beta1, fj.beta2, steady=False,
                            conv1=c1, conv2=c2)
-        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0)
-        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0)
+        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0, capacity=cap1)
+        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0, capacity=cap2)
         self.capacity, self.capacity2 = cap1, cap2
         self.dt = float(dt)
         self.u0 = u0

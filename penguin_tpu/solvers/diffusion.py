@@ -88,7 +88,7 @@ class DiffusionSteadyMono(_ScalarSolverBase):
         ia, ib = build_I_bc(bc_i)
         Id = coefficient_diag(phase.diffusion, cap)
         masks = scalar_masks(ops, cap.Gamma, ia, ib, steady=True)
-        border = border_info(cap.mesh, bc_b)
+        border = border_info(cap.mesh, bc_b, capacity=cap)
         self.capacity = cap
         self.apply = mono_apply_fn(ops, Id, cap.Gamma, ia, ib, border=border,
                                    masks=masks)
@@ -121,7 +121,7 @@ class DiffusionUnsteadyMono(_ScalarSolverBase):
         ia, ib = build_I_bc(bc_i)
         Id = coefficient_diag(phase.diffusion, cap)
         masks = scalar_masks(ops, cap.Gamma, ia, ib, steady=False)
-        border = border_info(cap.mesh, bc_b)
+        border = border_info(cap.mesh, bc_b, capacity=cap)
         self.capacity = cap
         self.dt = float(dt)
         self.scheme = scheme
@@ -208,8 +208,8 @@ class DiffusionSteadyDiph(_ScalarSolverBase):
         b1c, b2c = ic.flux.beta1, ic.flux.beta2
         masks = diph_masks(ops1, ops2, cap1.Gamma, cap2.Gamma, a1, a2, b1c,
                            b2c, steady=True)
-        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0)
-        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0)
+        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0, capacity=cap1)
+        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0, capacity=cap2)
         self.capacity = cap1
         self.capacity2 = cap2
         self.apply = diph_apply_fn(ops1, ops2, Id1, Id2, ic, border1=border1,
@@ -238,8 +238,8 @@ class DiffusionUnsteadyDiph(_ScalarSolverBase):
         b1c, b2c = ic.flux.beta1, ic.flux.beta2
         masks = diph_masks(ops1, ops2, cap1.Gamma, cap2.Gamma, a1, a2, b1c,
                            b2c, steady=False)
-        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0)
-        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0)
+        border1 = border_info(cap1.mesh, bc_b, phase_mask=cap1.cell_types != 0, capacity=cap1)
+        border2 = border_info(cap2.mesh, bc_b, phase_mask=cap2.cell_types != 0, capacity=cap2)
         self.capacity = cap1
         self.capacity2 = cap2
         self.dt = float(dt)

@@ -258,9 +258,15 @@ def moment_consistent_W(capacity, ops=None):
     which in fully wet regions equals the standard staggered volume and
     near the interface equals the centroid-to-interface moment that a
     one-sided sub-cell stencil (Gibou-style ghost value) would use.
-    Replacing ``W[d] := N_d`` removes the O(h) wall-placement bias of cut
-    momentum/diffusion rows on inclined and curved interfaces (the flat
-    axis-aligned wall is already exact with the plain quadrature W).
+
+    Measured verdict (tests/test_moment_w.py + the Couette annulus
+    truncation study in ARCHITECTURE.md): per-axis moment exactness is
+    bought at the price of LARGER cross-moment flux error on inclined or
+    curved 2D interfaces (inclined-strip linear solution: 8.5e-4 ->
+    1.8e-3; Couette solution error unchanged).  Use it where the
+    reference uses its 1D ``volume_redefinition!`` — 1D problems — and
+    leave N-D capacities on the plain quadrature W (the default
+    everywhere in this package).
 
     Slots where the correction is degenerate (``N_d <= 0`` — possible on
     grazing slivers where centroids cross) keep the quadrature value.
