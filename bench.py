@@ -36,15 +36,23 @@ def main():
                       bc_b, dt, cg_tol=1e-5, cg_maxiter=24, dtype=jnp.float32)
 
     T = jnp.zeros(mesh.np_shape, jnp.float32)
-    # warmup (compile + first steps)
+    # warmup (compile + first steps); synchronize via a device->host scalar
+    # read — through the remote-dispatch tunnel block_until_ready does NOT
+    # wait for execution, so naive timings measure dispatch latency only
     T = fast.run(T, 5)
-    T.block_until_ready()
+    float(T.max())
 
-    n_steps = 100
-    t0 = time.time()
-    T = fast.run(T, n_steps)
-    T.block_until_ready()
-    ms = (time.time() - t0) / n_steps * 1e3
+    # difference two loop lengths to cancel the fixed per-call round-trip
+    # cost (~30-45 ms through the tunnel); min over repeats rejects jitter
+    def timed(n):
+        t0 = time.time()
+        out = fast.run(T, n)
+        float(out.sum())
+        return time.time() - t0
+
+    n1, n2 = 50, 800
+    timed(n1)  # settle the executable/queue
+    ms = min((timed(n2) - timed(n1)) / (n2 - n1) * 1e3 for _ in range(3))
 
     print(
         json.dumps(

@@ -15,12 +15,23 @@ precomputed once, so the CG matvec is a single fused VPU pipeline reading
 2N+2 arrays from HBM — the hardware roofline for this operator.  Solved by
 Jacobi-preconditioned CG with warm starts under ``lax.while_loop``.
 
+The jitted step/run functions live at module level and take the stencil
+coefficients as ARGUMENTS (a pytree), not as closure constants: closed-over
+arrays are baked into the lowered HLO as literals, which (a) re-compiles per
+FastHeatBE instance and (b) ships the whole coefficient set with every
+remote-compile request — at 192³ f32 that is ~300 MB of HLO and the TPU
+tunnel rejects it (HTTP 413).  As arguments they are runtime parameters:
+the program is a few KB and instances with equal shapes share the compile
+cache.
+
 Mathematically identical to the general masked block solver in
 ``solvers/diffusion.py`` (unit-tested against it); the reference solves the
 same system with sparse LU (src/solver/diffusion.jl:212-301).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +47,83 @@ from ..boundary import Dirichlet, eval_condition_value
 from ..operators import _shift_m, _shift_p, _zlast, dm, dm_t
 
 __all__ = ["FastHeatBE"]
+
+
+def _apply_stencil(kind, tiles, coeffs, x):
+    """(2N+1)-point variable-coefficient matvec on the padded grid."""
+    if kind == "pl2":
+        from ..pallas_kernels.stencil import stencil5_matvec
+
+        cc, cxm, cxp, cym, cyp = coeffs
+        return stencil5_matvec(cc, cxm, cxp, cym, cyp, x, tile_m=tiles[0])
+    if kind == "pl3":
+        from ..pallas_kernels.stencil import stencil7_matvec
+
+        cc, cxm, cxp, cym, cyp, czm, czp = coeffs
+        return stencil7_matvec(cc, cxm, cxp, cym, cyp, czm, czp, x,
+                               tile_x=tiles[0], tile_y=tiles[1])
+    cc = coeffs[0]
+    acc = cc * x
+    for d in range((len(coeffs) - 1) // 2):
+        acc = (acc + coeffs[1 + 2 * d] * _shift_m(x, d)
+               + coeffs[2 + 2 * d] * _shift_p(x, d))
+    return acc
+
+
+def _cg(kind, tiles, cg_maxiter, coeffs, dinv, tol2, b, x0):
+    matvec = partial(_apply_stencil, kind, tiles, coeffs)
+    r = b - matvec(x0)
+    z = dinv * r
+    p = z
+    rz = jnp.vdot(r, z).real
+    bb = jnp.maximum(jnp.vdot(b, b).real, jnp.asarray(1e-30, b.dtype))
+
+    def cond_fn(state):
+        x, r, p, rz, k = state
+        return (jnp.vdot(r, r).real > tol2 * bb) & (k < cg_maxiter)
+
+    def body_fn(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap).real
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = dinv * r
+        rz_new = jnp.vdot(r, z).real
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, k = jax.lax.while_loop(cond_fn, body_fn, (x0, r, p, rz, 0))
+    return x, k
+
+
+@partial(jax.jit, static_argnames=("kind", "tiles", "cg_maxiter"))
+def _step_fn(kind, tiles, cg_maxiter, params, Twp, x0p):
+    """One BE step in padded space: solve (V + dt·Id·GᵀWꜝG) x = V Twp + rhs."""
+    b = params["Va"] * Twp + params["rhs"]
+    return _cg(kind, tiles, cg_maxiter, params["coeffs"], params["dinv"],
+               params["tol2"], b, x0p)
+
+
+@partial(jax.jit, static_argnames=("kind", "tiles", "cg_maxiter"))
+def _run_fn(kind, tiles, cg_maxiter, params, Tp, n_steps):
+    # quadratically extrapolated warm start (x0 = 3Tn - 3Tn-1 + Tn-2) saves
+    # ~1-2 CG iterations per step; cubic extrapolation regresses in f32
+    # (noise amplification)
+    def body(_, carry):
+        T, T1, T2 = carry
+        Tn, _it = _step_fn(kind, tiles, cg_maxiter, params,
+                           T, 3.0 * T - 3.0 * T1 + T2)
+        return (Tn, T, T1)
+
+    Tn, _, _ = jax.lax.fori_loop(0, n_steps, body, (Tp, Tp, Tp))
+    return Tn
+
+
+@partial(jax.jit, static_argnames=("kind", "tiles"))
+def _matvec_fn(kind, tiles, coeffs, xp):
+    return _apply_stencil(kind, tiles, coeffs, xp)
 
 
 class FastHeatBE:
@@ -61,7 +149,7 @@ class FastHeatBE:
         # eliminated interface field: g on cut cells, 0 elsewhere
         Tg = jnp.where(Gamma > 0, g_gamma, 0.0)
 
-        border = border_info(capacity.mesh, bc_b)
+        border = border_info(capacity.mesh, bc_b, capacity=capacity)
         bmask = jnp.zeros(capacity.V.shape, bool)
         bvals = jnp.zeros(capacity.V.shape, dtype)
         for key, cond, axis, side, mask in border.items:
@@ -93,18 +181,11 @@ class FastHeatBE:
         c_m = [jnp.where(live, c, 0.0) for c in c_m]
         c_p = [jnp.where(live, c, 0.0) for c in c_p]
 
-        def matvec(x):
-            acc = c_c * x
-            for d in range(ndim):
-                acc = acc + c_m[d] * _shift_m(x, d) + c_p[d] * _shift_p(x, d)
-            return acc
-
-        # Pallas dispatch (VERDICT round-1 item 5): the fused 5-point
+        # Pallas dispatch (VERDICT round-1 item 5): the fused 5/7-point
         # kernel replaces the XLA-fused matvec when available.  Arrays are
         # padded once here to the kernel's tile alignment; padded slots are
         # identity rows (c=1, off-diag 0) so the CG state there stays 0.
-        from ..pallas_kernels.stencil import stencil5_available, \
-            stencil5_matvec, stencil7_matvec
+        from ..pallas_kernels.stencil import stencil5_available
 
         if use_pallas is None:
             # auto-dispatch only when tile padding is cheap: the kernel is
@@ -129,22 +210,8 @@ class FastHeatBE:
             tile_m = 64
             Mp = -(-M // tile_m) * tile_m
             Npad = -(-Np // 128) * 128
-            self._pad2 = ((0, Mp - M), (0, Npad - Np))
-
-            def padded(a, const=0.0):
-                return jnp.pad(a, self._pad2, constant_values=const)
-
-            ccp = padded(c_c, 1.0)
-            cxm_p, cym_p = padded(c_m[0]), padded(c_m[1])
-            cxp_p, cyp_p = padded(c_p[0]), padded(c_p[1])
-
-            def matvec_pl(xp):
-                return stencil5_matvec(ccp, cxm_p, cxp_p, cym_p, cyp_p,
-                                       xp, tile_m=tile_m)
-
-            self._matvec_inner = matvec_pl
-            self._pad = padded
-            self._crop = lambda a: a[:M, :Np]
+            pw = ((0, Mp - M), (0, Npad - Np))
+            self._kind, self._tiles = "pl2", (tile_m,)
         elif self.use_pallas:
             X, Y, Z = V.shape
             tile_x = 8
@@ -154,27 +221,23 @@ class FastHeatBE:
             # the kernel requires Yp % tile_y == 0 (tile_y % 8 == 0): pick
             # the largest admissible tile ≤ 64 rather than assuming 64
             tile_y = next(t for t in range(64, 0, -8) if Yp % t == 0)
-            self._pad3 = ((0, Xp - X), (0, Yp - Y), (0, Zp - Z))
-
-            def padded(a, const=0.0):
-                return jnp.pad(a, self._pad3, constant_values=const)
-
-            ccp = padded(c_c, 1.0)
-            cms = [padded(c) for c in c_m]
-            cps = [padded(c) for c in c_p]
-
-            def matvec_pl(xp):
-                return stencil7_matvec(ccp, cms[0], cps[0], cms[1], cps[1],
-                                       cms[2], cps[2], xp, tile_x=tile_x,
-                                       tile_y=tile_y)
-
-            self._matvec_inner = matvec_pl
-            self._pad = padded
-            self._crop = lambda a: a[:X, :Y, :Z]
+            pw = ((0, Xp - X), (0, Yp - Y), (0, Zp - Z))
+            self._kind, self._tiles = "pl3", (tile_x, tile_y)
         else:
-            self._matvec_inner = matvec
-            self._pad = lambda a, const=0.0: a
-            self._crop = lambda a: a
+            pw = tuple((0, 0) for _ in range(ndim))
+            self._kind, self._tiles = "xla", ()
+
+        shape = V.shape
+        self._pad = lambda a, const=0.0: (
+            jnp.pad(a, pw, constant_values=const)
+            if any(p1 for _, p1 in pw) else a)
+        self._crop = lambda a: a[tuple(slice(0, s) for s in shape)]
+        pad, crop = self._pad, self._crop
+
+        coeffs = [pad(c_c, 1.0)]
+        for d in range(ndim):
+            coeffs += [pad(c_m[d]), pad(c_p[d])]
+        coeffs = tuple(coeffs)
 
         # constant rhs pieces: dt·V·f − dt·Id·GᵀWꜝH g_γ  (+ border values)
         def h_apply(tg):
@@ -189,79 +252,37 @@ class FastHeatBE:
         rhs_const = jnp.where(bmask, bvals, rhs_const)
 
         diag = jnp.where(c_c == 0, 1.0, c_c)
-        dinv = self._pad(1.0 / diag, 1.0)
-        matvec = self._matvec_inner
-
-        tol2 = jnp.asarray(cg_tol * cg_tol, dtype)
-
-        def cg(b, x0):
-            r = b - matvec(x0)
-            z = dinv * r
-            p = z
-            rz = jnp.vdot(r, z).real
-            bb = jnp.maximum(jnp.vdot(b, b).real, jnp.asarray(1e-30, dtype))
-
-            def cond_fn(state):
-                x, r, p, rz, k = state
-                return (jnp.vdot(r, r).real > tol2 * bb) & (k < cg_maxiter)
-
-            def body_fn(state):
-                x, r, p, rz, k = state
-                Ap = matvec(p)
-                alpha = rz / jnp.vdot(p, Ap).real
-                x = x + alpha * p
-                r = r - alpha * Ap
-                z = dinv * r
-                rz_new = jnp.vdot(r, z).real
-                beta = rz_new / rz
-                p = z + beta * p
-                return (x, r, p, rz_new, k + 1)
-
-            x, r, p, rz, k = jax.lax.while_loop(cond_fn, body_fn, (x0, r, p, rz, 0))
-            return x, k
-
         V_active = jnp.where(active, V, 0.0)
-        pad, crop = self._pad, self._crop
 
-        @jax.jit
-        def step(Tw, x0=None):
-            b = pad(V_active * Tw + rhs_const)
-            x, iters = cg(b, pad(Tw if x0 is None else x0))
-            return crop(x), iters
+        self._params = {
+            "coeffs": coeffs,
+            "dinv": pad(1.0 / diag, 1.0),
+            "Va": pad(V_active),
+            "rhs": pad(rhs_const),
+            "tol2": jnp.asarray(cg_tol * cg_tol, dtype),
+        }
+        self._cg_maxiter = int(cg_maxiter)
 
-        # padded-domain step (the run loop stays in padded space: one
-        # pad at entry, one crop at exit, zero copies per step)
-        V_active_p = pad(V_active)
-        rhs_const_p = pad(rhs_const)
-
-        @jax.jit
-        def step_p(Twp, x0p):
-            b = V_active_p * Twp + rhs_const_p
-            return cg(b, x0p)
-
-        self.step = step
-        self.matvec = jax.jit(lambda x: crop(matvec(pad(x))))
         self.Tg = Tg
         self.active = active
         self.dtype = dtype
 
-        @jax.jit
-        def run(T, n_steps):
-            # quadratically extrapolated warm start
-            # (x0 = 3Tn - 3Tn-1 + Tn-2) saves ~1-2 CG iterations per step;
-            # cubic extrapolation regresses in f32 (noise amplification)
-            def body(_, carry):
-                T, T1, T2 = carry
-                Tn, _it = step_p(T, 3.0 * T - 3.0 * T1 + T2)
-                return (Tn, T, T1)
+    # ------------------------------------------------------------------
+    def step(self, Tw, x0=None):
+        """One BE step: returns (T_{n+1}, cg_iters)."""
+        Twp = self._pad(Tw)
+        x0p = Twp if x0 is None else self._pad(x0)
+        x, iters = _step_fn(self._kind, self._tiles, self._cg_maxiter,
+                            self._params, Twp, x0p)
+        return self._crop(x), iters
 
-            Tp = pad(T)
-            Tn, _, _ = jax.lax.fori_loop(0, n_steps, body, (Tp, Tp, Tp))
-            return crop(Tn)
-
-        self._run = run
+    def matvec(self, x):
+        return self._crop(_matvec_fn(self._kind, self._tiles,
+                                     self._params["coeffs"], self._pad(x)))
 
     def run(self, T0, n_steps):
         """n_steps of BE in one XLA program (single compile; the step count
         is a dynamic loop bound)."""
-        return self._run(T0, n_steps)
+        Tn = _run_fn(self._kind, self._tiles, self._cg_maxiter, self._params,
+                     self._pad(T0), n_steps)
+        return self._crop(Tn)
