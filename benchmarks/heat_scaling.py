@@ -36,13 +36,15 @@ for n in (128, 256, 512, 1024, 2048):
                     bc_b, dt, cg_tol=1e-6, cg_maxiter=32)
     T = jnp.zeros(mesh.np_shape, jnp.float32)
     _, iters = be.step(T)
-    steps = 200 if n <= 1024 else 50
-    Tn = be.run(T, steps)          # compile the whole loop
-    jax.block_until_ready(Tn)
-    t0 = time.perf_counter()
-    Tn = be.run(T, steps)
-    jax.block_until_ready(Tn)
-    ms = (time.perf_counter() - t0) / steps * 1e3
+    # differenced loop lengths + scalar-read sync (see _timing.py: naive
+    # block_until_ready timings through the tunnel measure dispatch only)
+    # loop lengths sized so the differenced signal ≫ timing jitter even
+    # when the warm-started step costs single-digit microseconds
+    n_lo, n_hi = (500, 8000) if n <= 512 else (50, 800) if n <= 1024 else (20, 200)
+    from _timing import per_step_ms, sync_scalar
+    run = lambda k: be.run(T, k)
+    sync_scalar(run(n_lo)); sync_scalar(run(n_hi))  # compile + settle
+    ms = per_step_ms(run, n_lo, n_hi)
     rows.append((n, ms, int(iters)))
     print(f"n={n:5d}: {ms:8.3f} ms/step  (first-step CG iters {int(iters)}, "
           f"pallas={'on' if be.use_pallas else 'off'})")

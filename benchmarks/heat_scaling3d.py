@@ -42,17 +42,17 @@ for n in (64, 128, 192, 256):
                     bc_b, dt, cg_tol=1e-6, cg_maxiter=32)
     T = jnp.zeros(mesh.np_shape, jnp.float32)
     _, iters = be.step(T)
-    steps = 100 if n <= 128 else 30
-    Tn = be.run(T, steps)  # compile the loop
-    Tn.block_until_ready()
-    t0 = time.time()
-    Tn = be.run(T, steps)
-    Tn.block_until_ready()
-    ms = (time.time() - t0) / steps * 1e3
+    # differenced loop lengths + scalar-read sync (see _timing.py: naive
+    # block_until_ready timings through the tunnel measure dispatch only)
+    n_lo, n_hi = (200, 2000) if n <= 64 else (20, 200) if n <= 128 else (10, 60)
+    from _timing import per_step_ms, sync_scalar
+    run = lambda k: be.run(T, k)
+    sync_scalar(run(n_lo)); sync_scalar(run(n_hi))  # compile + settle
+    ms = per_step_ms(run, n_lo, n_hi)
     print(f"n={n}^3: {ms:.3f} ms/step (pallas={be.use_pallas}, "
           f"first-step CG iters={int(iters)})", flush=True)
     rows.append((n, ms, int(iters)))
-    del be, cap, ops, T, Tn
+    del be, cap, ops, T
     jax.clear_caches()
 
 out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),

@@ -187,33 +187,58 @@ class FastHeatBE:
         # identity rows (c=1, off-diag 0) so the CG state there stays 0.
         from ..pallas_kernels.stencil import stencil5_available
 
+        # Trimmable ghost plane: the (n+1)-th slot along each axis is
+        # structural padding (B[last] = 0 ⇒ identity row) whenever it holds
+        # no live cell and no live row couples into it (c_p at index n-1
+        # would be the only path in — the shift ops zero-pad, they don't
+        # wrap).  Trimming it puts (2^k+1)-shaped grids exactly on the
+        # kernel tile alignment, making the Pallas dispatch free where
+        # padding UP would have cost +19% (1025²) or +49% (257³ lanes).
+        work = []
+        for d in range(ndim):
+            last_live = bool(jnp.any(jnp.take(live, V.shape[d] - 1, axis=d)))
+            feeds_last = bool(
+                jnp.any(jnp.take(c_p[d], V.shape[d] - 2, axis=d) != 0.0))
+            work.append(V.shape[d] - (0 if (last_live or feeds_last) else 1))
+        work = tuple(work)
+
         if use_pallas is None:
-            # auto-dispatch only when tile padding is cheap: the kernel is
-            # ~12% faster per element than XLA's fusion in 2D (~1.6x in the
-            # 3D HBM-streaming regime), so padding that adds more than ~8%
-            # elements makes it a net loss (measured: 1025² -> 1088×1152
-            # pad = +19% elements = 6% slower overall).
+            # auto-dispatch only when tile alignment is cheap: the kernel is
+            # ~12% faster per element than XLA's fusion in 2D (~1.6-1.8x in
+            # the HBM-streaming regime), so padding that adds more than ~8%
+            # elements makes it a net loss.
             use_pallas = ndim in (2, 3) and stencil5_available()
+            full_n = 1
+            for s in V.shape:
+                full_n *= s
+            # padding budget: in the HBM-streaming regime (working set well
+            # past on-chip residency, ≳4M cells) the kernel's 1.6-1.8×
+            # per-element advantage absorbs up to ~35% padded elements
+            # (e.g. 192³ lanes pad to 256, +33%, still a 1.35× net win);
+            # in the resident regime the advantage is ~1.1× so only
+            # near-free (≤8%) alignment pays.
+            budget = 1.35 if full_n >= 4_000_000 else 1.08
             if use_pallas and ndim == 2:
-                M0, N0 = V.shape
-                Mp0 = -(-M0 // 64) * 64
-                Np0 = -(-N0 // 128) * 128
-                use_pallas = (Mp0 * Np0) <= 1.08 * (M0 * N0)
+                M0, N0 = work
+                padded_n = (-(-M0 // 64) * 64) * (-(-N0 // 128) * 128)
+                use_pallas = padded_n <= budget * full_n
             elif use_pallas:
-                X0, Y0, Z0 = V.shape
+                X0, Y0, Z0 = work
                 padded_n = (-(-X0 // 8) * 8) * (-(-Y0 // 8) * 8) \
                     * (-(-Z0 // 128) * 128)
-                use_pallas = padded_n <= 1.08 * (X0 * Y0 * Z0)
+                use_pallas = padded_n <= budget * full_n
         self.use_pallas = bool(use_pallas and ndim in (2, 3))
+        if not self.use_pallas:
+            work = V.shape  # keep the XLA path byte-identical to the input
         if self.use_pallas and ndim == 2:
-            M, Np = V.shape
+            M, Np = work
             tile_m = 64
             Mp = -(-M // tile_m) * tile_m
             Npad = -(-Np // 128) * 128
             pw = ((0, Mp - M), (0, Npad - Np))
             self._kind, self._tiles = "pl2", (tile_m,)
         elif self.use_pallas:
-            X, Y, Z = V.shape
+            X, Y, Z = work
             tile_x = 8
             Xp = -(-X // tile_x) * tile_x
             Yp = -(-Y // 8) * 8
@@ -228,10 +253,24 @@ class FastHeatBE:
             self._kind, self._tiles = "xla", ()
 
         shape = V.shape
-        self._pad = lambda a, const=0.0: (
-            jnp.pad(a, pw, constant_values=const)
-            if any(p1 for _, p1 in pw) else a)
-        self._crop = lambda a: a[tuple(slice(0, s) for s in shape)]
+        trim_sl = tuple(slice(0, w) for w in work)
+        untrim = tuple((0, s - w) for s, w in zip(shape, work))
+        has_pad = any(p1 for _, p1 in pw)
+        has_trim = work != shape
+
+        def _pad(a, const=0.0):
+            if has_trim:
+                a = a[trim_sl]
+            return jnp.pad(a, pw, constant_values=const) if has_pad else a
+
+        def _crop(a):
+            if has_pad:
+                a = a[tuple(slice(0, w) for w in work)]
+            # trimmed ghost planes come back as zeros (their rows are
+            # identity with zero rhs in the untrimmed system)
+            return jnp.pad(a, untrim) if has_trim else a
+
+        self._pad, self._crop = _pad, _crop
         pad, crop = self._pad, self._crop
 
         coeffs = [pad(c_c, 1.0)]
