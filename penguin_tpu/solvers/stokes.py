@@ -225,7 +225,7 @@ class StokesMono:
     """Fully coupled steady/unsteady Stokes."""
 
     def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None,
-                 wall_row="center"):
+                 wall_row="center", cut_row="center"):
         self.fluid = fluid
         self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
         self.gauge = pressure_gauge or PinPressureGauge()
@@ -252,6 +252,15 @@ class StokesMono:
             )
             for d in range(N)
         )
+        # Gibou-style one-sided ghost rows for badly-cut momentum DOFs
+        # (opt-in, static geometry) — built BEFORE the orphan-pressure
+        # elimination because a replaced momentum row no longer carries
+        # its pressure-gradient column.  See _build_ghost_cut_rows.
+        self.traction = isinstance(self._cut(0), Traction)
+        self._ghost = (None,) * N
+        if cut_row == "ghost" and not self.traction:
+            self._ghost = self._build_ghost_cut_rows()
+
         p_act = np.asarray(
             _col_G_nz(fluid.operator_p) | (fluid.operator_p.V != 0)
         )
@@ -267,6 +276,9 @@ class StokesMono:
             live = np.asarray(self.u_active[d])
             for item in self.borders[d].items:
                 live = live & ~np.asarray(item[5])
+            if self._ghost[d] is not None:
+                live = live.copy()
+                live.ravel()[np.asarray(self._ghost[d]["gpos"])] = False
             c = (np.asarray(fluid.operator_p.A[d]) != 0) & live
             cp = np.zeros_like(c)
             sl_dst = [slice(None)] * c.ndim
@@ -280,8 +292,7 @@ class StokesMono:
         # (the reference's traction test expects
         # [Iμ HᵀWꜝG, Iμ HᵀWꜝH, -Hp] rows, test/solver/traction_test.jl;
         # its own assembly helper is absent from src, so this implements
-        # the documented row)
-        self.traction = isinstance(self._cut(0), Traction)
+        # the documented row).  self.traction set above (ghost build).
         if self.traction:
             self.trac_active = tuple(
                 jnp.asarray(_col_H_nz(fluid.operator_u[d])) for d in range(N)
@@ -398,6 +409,142 @@ class StokesMono:
             self.pin_mask = None
 
     # ------------------------------------------------------------------
+    def _build_ghost_cut_rows(self, frac_max=0.5):
+        """For each velocity component, precompute (host-side, static
+        geometry) the replacement row data for cut cells with wet fraction
+        < ``frac_max``:  u_c − θ·I(u)(x_f) = (1−θ)·u_wall(x_w), where x_w
+        is the wall foot point of the DOF centroid, x_f a probe point
+        1.5–3 h into the fluid along the inward normal, I bilinear
+        interpolation from trusted cells, θ = d_c/d_f the distance ratio."""
+        out = []
+        N = self.N
+        for d in range(N):
+            cap = self.fluid.capacity_u[d]
+            mesh_c = self.fluid.mesh_u[d]
+            V = np.asarray(cap.V, float)
+            ct = np.asarray(cap.cell_types)
+            shape = V.shape
+            h = np.asarray(mesh_c.h, float)
+            cellvol = float(np.prod(h))
+            frac = V / cellvol
+            cand = (ct == -1) & (frac < frac_max) & np.asarray(self.u_active[d])
+            for item in self.borders[d].items:
+                cand &= ~np.asarray(item[5])
+            if not cand.any():
+                out.append(None)
+                continue
+            # fluid-inward interface normal from the aperture closure
+            # n_in,e |Γ| = A_hi,e − A_lo,e  (Gauss over the wet region)
+            nvec = np.zeros(shape + (N,))
+            for e in range(N):
+                Ae = np.asarray(cap.A[e], float)
+                hi = np.zeros_like(Ae)
+                sl_dst = [slice(None)] * N
+                sl_src = [slice(None)] * N
+                sl_dst[e] = slice(0, -1)
+                sl_src[e] = slice(1, None)
+                hi[tuple(sl_dst)] = Ae[tuple(sl_src)]
+                nvec[..., e] = hi - Ae
+            nn = np.linalg.norm(nvec, axis=-1)
+            Com = np.asarray(cap.C_om, float)[..., :N]
+            Cga = np.asarray(cap.C_ga, float)[..., :N]
+            alt = Com - Cga
+            use_alt = nn < 1e-12
+            nvec = np.where(use_alt[..., None], alt, nvec)
+            nn = np.linalg.norm(nvec, axis=-1)
+            cand &= nn > 1e-12
+            nvec = nvec / np.maximum(nn, 1e-300)[..., None]
+            hbar = float(np.max(h))
+            d_c = np.einsum("...k,...k->...", Com - Cga, nvec)
+            d_c = np.clip(d_c, 0.05 * hbar, 2.0 * hbar)
+            # trusted interpolation sources: every wet cell that keeps a
+            # real row (momentum or border-Dirichlet identity)
+            good_src = (V > 1e-12) & ~cand
+            x0 = np.array([float(mesh_c.centers[e][0]) for e in range(N)])
+            gidx = np.argwhere(cand)
+            K = len(gidx)
+            corners = 2 ** N
+
+            def bilinear(xf):
+                """(flat ids, weights) of the lattice cell around xf, or
+                None when a source cell is untrusted/out of range."""
+                i0 = np.floor((xf - x0) / h).astype(int)
+                if np.any(i0 < 0) or np.any(i0 + 1 > np.array(shape) - 1):
+                    return None
+                fr = (xf - (x0 + i0 * h)) / h
+                ids, ws = [], []
+                for corner in range(corners):
+                    off = [(corner >> e) & 1 for e in range(N)]
+                    cidx = tuple(int(i0[e] + off[e]) for e in range(N))
+                    if not good_src[cidx]:
+                        return None
+                    w = 1.0
+                    for e in range(N):
+                        w *= fr[e] if off[e] else (1.0 - fr[e])
+                    ids.append(np.ravel_multi_index(cidx, shape))
+                    ws.append(w)
+                return ids, ws
+
+            # two probe points along the inward normal -> quadratic
+            # (Gibou-style second-order) extrapolation to the DOF point:
+            # u(s) Lagrange through (0, u_w), (s1, u1), (s2, u2), s = dist
+            # from the wall; row coefficients evaluated at s = d_c.
+            idx_all = np.zeros((K, 2 * corners), np.int64)
+            wts_all = np.zeros((K, 2 * corners))
+            cwall = np.zeros(K)
+            xw = np.zeros((K, N))
+            keep = np.zeros(K, bool)
+            for k in range(K):
+                ji = tuple(gidx[k])
+                xc, nv, dc = Com[ji], nvec[ji], d_c[ji]
+                for tmul in (1.5, 2.0, 2.5, 3.0):
+                    t = tmul * hbar
+                    b1 = bilinear(xc + t * nv)
+                    b2 = bilinear(xc + 2.0 * t * nv)
+                    if b1 is None or b2 is None:
+                        continue
+                    s1, s2 = dc + t, dc + 2.0 * t
+                    lw = ((dc - s1) * (dc - s2)) / (s1 * s2)
+                    l1 = (dc * (dc - s2)) / (s1 * (s1 - s2))
+                    l2 = (dc * (dc - s1)) / (s2 * (s2 - s1))
+                    idx_all[k] = b1[0] + b2[0]
+                    wts_all[k] = ([l1 * w for w in b1[1]]
+                                  + [l2 * w for w in b2[1]])
+                    cwall[k] = lw
+                    xw[k] = xc - dc * nv
+                    keep[k] = True
+                    break
+            if not keep.any():
+                out.append(None)
+                continue
+            gpos = np.ravel_multi_index(tuple(gidx[keep].T), shape)
+            out.append({
+                "gpos": jnp.asarray(gpos),
+                "idx": jnp.asarray(idx_all[keep]),
+                "wts": jnp.asarray(wts_all[keep]),
+                "cwall": jnp.asarray(cwall[keep]),
+                "xw": tuple(jnp.asarray(xw[keep][:, e]) for e in range(N)),
+            })
+        return tuple(out)
+
+    def _ghost_fix(self, d, yw, uw):
+        g = self._ghost[d]
+        if g is None:
+            return yw
+        uf = (uw.ravel()[g["idx"]] * g["wts"].astype(uw.dtype)).sum(1)
+        val = uw.ravel()[g["gpos"]] - uf
+        return yw.ravel().at[g["gpos"]].set(val).reshape(yw.shape)
+
+    def _ghost_rhs(self, d, bw, t=None):
+        g = self._ghost[d]
+        if g is None:
+            return bw
+        uwall = eval_condition_value(self._cut(d).value, list(g["xw"]), t)
+        cw = g["cwall"].astype(bw.dtype)
+        uwall = jnp.broadcast_to(jnp.asarray(uwall, bw.dtype), cw.shape)
+        return bw.ravel().at[g["gpos"]].set(cw * uwall).reshape(bw.shape)
+
+    # ------------------------------------------------------------------
     def _traction_row(self, d, uw, ug, p):
         ops = self.fluid.operator_u[d]
         q = ops.flux(uw, ug)
@@ -449,6 +596,7 @@ class StokesMono:
         for d in range(N):
             yw = self._visc(d, uws[d], ugs[d]) + self._grad(d, p)
             yw = jnp.where(self.u_active[d], yw, uws[d])
+            yw = self._ghost_fix(d, yw, uws[d])
             yg = self._tie_or_traction(d, uws[d], ugs[d], p)
             yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
             out += [yw, yg]
@@ -479,6 +627,7 @@ class StokesMono:
             if self.traction:
                 bg = jnp.where(self.trac_active[d], bg, 0.0)
             bw = jnp.where(self.u_active[d], bw, 0.0)
+            bw = self._ghost_rhs(d, bw, t)
             bw, bg = self.borders[d].rhs(bw, bg, t)
             out += [bw, bg]
         bp = jnp.zeros_like(self.fluid.capacity_p.V)
@@ -501,6 +650,7 @@ class StokesMono:
                     + self._grad(d, p)
                 )
                 yw = jnp.where(self.u_active[d], yw, uws[d])
+                yw = self._ghost_fix(d, yw, uws[d])
                 yg = self._tie_or_traction(d, uws[d], ugs[d], p)
                 yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
                 out += [yw, yg]
@@ -538,6 +688,7 @@ class StokesMono:
                 bg = eval_condition_value(self._cut(d).value, gco, t_next)
                 if self.traction:
                     bg = jnp.where(self.trac_active[d], bg, 0.0)
+                bw = self._ghost_rhs(d, bw, t_next)
                 bw, bg = self.borders[d].rhs(bw, bg, t_next)
                 out += [bw, bg]
             bp = jnp.zeros_like(self.fluid.capacity_p.V)
@@ -665,6 +816,11 @@ class StokesMono:
             dm_ = jnp.where(self.u_active[d], dm_, 1.0)
             for item in self.borders[d].items:
                 dm_ = jnp.where(item[5], 1.0, dm_)
+            if self._ghost[d] is not None:
+                # ghost cut rows are unit-diagonal interpolation rows —
+                # the sliver's viscous diag (Wꜝ ~ 1/V) no longer applies
+                dm_ = dm_.ravel().at[self._ghost[d]["gpos"]].set(1.0) \
+                    .reshape(dm_.shape)
             dm_ = jnp.where(dm_ == 0.0, 1.0, dm_)
             diag_mom.append(dm_)
             dinv.append(1.0 / dm_)
