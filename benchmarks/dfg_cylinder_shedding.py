@@ -109,9 +109,12 @@ t0 = time.time()
 # pgmres: BiCGStab overflows on this cut-cell saddle point in f32.
 # Chunked: one 4000-step device-side scan runs minutes once shedding
 # drives GMRES to ~60 its/step and trips the TPU-runtime watchdog
-# (worker crash); 500-step chunks warm-started via x0/t_start reuse one
-# compiled scan.
-chunk_steps = 500
+# (worker crash); short chunks warm-started via x0/t_start reuse one
+# compiled scan so the only per-chunk cost is the ~40 ms dispatch round
+# trip.  The chunk must keep ONE device program under the watchdog:
+# 500 steps is safe at 128x64 (~16 s) but crashes the worker at 256x128
+# (~75-150 s/chunk once GMRES deepens), so scale with the step cost.
+chunk_steps = 500 if coarse else 100
 n_steps = int(round(T_end / dt))
 logs, kits, rels = [], [], []
 x = None
