@@ -43,12 +43,14 @@ import jax.numpy as jnp
 from .quadrature import box_integrals
 
 __all__ = ["Capacity", "compute_capacity", "compute_capacity_spacetime",
-           "compute_cell_volumes", "estimate_band_budget"]
+           "compute_cell_volumes", "estimate_band_budget",
+           "gamma_half_moments"]
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "B", "V", "W", "C_om", "C_ga", "Gamma", "cell_types"],
+    data_fields=["A", "B", "V", "W", "C_om", "C_ga", "Gamma", "cell_types",
+                 "Am", "Bm", "Vh"],
     meta_fields=["mesh", "body"],
 )
 @dataclasses.dataclass
@@ -63,6 +65,18 @@ class Capacity:
     cell_types: jnp.ndarray  # int8: 0 empty, 1 full, -1 cut
     mesh: object = dataclasses.field(default=None)
     body: object = dataclasses.field(default=None, compare=False)
+    # --- cut first moments (``cut_moments=True`` static builds only) ------
+    # Am[d]: wet centroid of face d (np_shape + (N,); d-component = node
+    #        coordinate); Bm[d]: wet centroid of the centroid-line plane
+    #        (np_shape + (N,); d-component = C_om_d); Vh[d]: wetted volume
+    #        of the lower half-cell along d (from the lower face to the
+    #        centroid plane); the upper half is V - Vh[d].
+    # These feed the moment-consistent cut-flux corrections (wet-line
+    # sampling of B·u and the per-half-strip Γ placement of uγ) that fix
+    # the O(h) immersed-wall placement of the staggered Stokes rows.
+    Am: tuple = None
+    Bm: tuple = None
+    Vh: tuple = None
 
     @property
     def ndim(self):
@@ -214,7 +228,8 @@ def _round_budget(count, ncells):
 def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
                      compute_centroids: bool = True,
                      params=None, band_budget=None,
-                     band_safety: float = _BAND_DEFAULT_SAFETY) -> Capacity:
+                     band_safety: float = _BAND_DEFAULT_SAFETY,
+                     cut_moments: bool = False) -> Capacity:
     """Compute all cut-cell capacities for ``body`` on ``mesh``.
 
     ``body`` must accept ``mesh.ndim`` coordinate arrays (broadcasting) and
@@ -260,7 +275,8 @@ def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
             band_budget = None
     return _compute_capacity_jit(body, mesh, p, s, dname,
                                  compute_centroids, band_budget,
-                                 float(band_safety), params)
+                                 float(band_safety), bool(cut_moments),
+                                 params)
 
 
 def compute_capacity_spacetime(body, space_mesh, t0, t1, p: int = 8,
@@ -326,9 +342,9 @@ def _compute_capacity_st_jit(body, space_mesh, p, s, dtype_name,
                           band_budget=band_budget, band_safety=band_safety)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids,
-                          band_budget, band_safety, params=None):
+                          band_budget, band_safety, cut_moments, params=None):
     dtype = jnp.dtype(dtype_name)
     nodes = [np.asarray(v, dtype) for v in mesh.nodes]
     if params is not None:
@@ -338,7 +354,8 @@ def _compute_capacity_jit(body, mesh, p, s, dtype_name, compute_centroids,
     return _capacity_impl(wrapped, nodes, mesh.n, dtype, p, s,
                           compute_centroids, mesh_ref=mesh,
                           np_shape=mesh.np_shape,
-                          band_budget=band_budget, band_safety=band_safety)
+                          band_budget=band_budget, band_safety=band_safety,
+                          cut_moments=cut_moments)
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +489,8 @@ def _gather_cells(arr, n, gidx):
 
 def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
                    mesh_ref, spacetime=False, np_shape=None,
-                   band_budget=None, band_safety=_BAND_DEFAULT_SAFETY):
+                   band_budget=None, band_safety=_BAND_DEFAULT_SAFETY,
+                   cut_moments=False):
     N = len(n)
     if np_shape is None:
         np_shape = tuple(nd + 1 for nd in n)
@@ -480,7 +498,8 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
         return _capacity_impl_band(body, nodes_list, n, dtype, p, s,
                                    compute_centroids, mesh_ref, spacetime,
                                    np_shape, int(band_budget),
-                                   float(band_safety))
+                                   float(band_safety),
+                                   cut_moments=cut_moments)
     lo, hi = _cell_bounds_from_nodes(nodes_list, n, dtype)
     # For space-time slabs the interface crossing lives in space, so the
     # closed-form axis of the full-box integrals is the last *spatial* axis.
@@ -517,7 +536,10 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
     # the constant-state problem off by up to 4.9e-2 and break grid
     # convergence of every solver on 'unlucky' geometries.  Domain-border
     # faces (no far-side cell) are exempt — the border rows own them.
+    do_moms = cut_moments and N >= 2 and not spacetime
+    eps_m = jnp.finfo(dtype).tiny ** 0.5
     A = []
+    Am = []
     for d in range(N):
         shp = [1] * N
         shp[d] = n[d] + 1
@@ -531,8 +553,24 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
             def phi_face(*cs, _d=d, _f=fco):
                 return body(*_insert(cs, _d, _f))
 
-            Ad, _ = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
-            Ad = jnp.broadcast_to(Ad, tuple(n[i] + 1 if i == d else n[i] for i in range(N)))
+            fshape = tuple(n[i] + 1 if i == d else n[i] for i in range(N))
+            Ad, Amoms = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
+            if do_moms:
+                # wet-face centroid (first moments come free from the
+                # quadrature; the d-component is the face coordinate)
+                Asafe = jnp.maximum(Ad, eps_m)
+                comps, ci = [], 0
+                for i in range(N):
+                    if i == d:
+                        comps.append(jnp.broadcast_to(fco, fshape))
+                    else:
+                        fc = 0.5 * (cross_lo[ci] + cross_hi[ci])
+                        cen = jnp.where(Ad > eps_m, Amoms[ci] / Asafe, fc)
+                        comps.append(jnp.broadcast_to(cen, fshape))
+                        ci += 1
+                Am.append(jnp.stack(
+                    [_pad_cells(c, np_shape) for c in comps], axis=-1))
+            Ad = jnp.broadcast_to(Ad, fshape)
         if not spacetime:
             # STATIC builds only: the moving solvers consume space-time
             # capacities whose near-front slivers are handled by their own
@@ -544,6 +582,7 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
 
     # --- centroid-line capacities B[d] --------------------------------------
     B = []
+    Bm = []
     for d in range(N):
         ccoord = C_cells[d]
         if N == 1:
@@ -555,9 +594,34 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
             def phi_line(*cs, _d=d, _c=ccoord):
                 return body(*_insert(cs, _d, _c))
 
-            Bd, _ = box_integrals(phi_line, cross_lo, cross_hi, p=p, s=s)
+            Bd, Bmoms = box_integrals(phi_line, cross_lo, cross_hi, p=p, s=s)
+            if do_moms:
+                Bsafe = jnp.maximum(Bd, eps_m)
+                comps, ci = [], 0
+                for i in range(N):
+                    if i == d:
+                        comps.append(jnp.broadcast_to(ccoord, n))
+                    else:
+                        cen = jnp.where(Bd > eps_m, Bmoms[ci] / Bsafe,
+                                        box_center[i])
+                        comps.append(jnp.broadcast_to(cen, n))
+                        ci += 1
+                Bm.append(jnp.stack(
+                    [_pad_cells(c, np_shape) for c in comps], axis=-1))
             Bd = jnp.where(is_empty, 0.0, Bd)
         B.append(_pad_cells(jnp.broadcast_to(Bd, n), np_shape))
+
+    # --- lower-half-cell volumes Vh[d] (cut-moment builds only) -------------
+    Vh = []
+    if do_moms:
+        for d in range(N):
+            h_lo = [jnp.broadcast_to(lo[i], n) for i in range(N)]
+            h_hi = [jnp.broadcast_to(C_cells[d] if i == d else hi[i], n)
+                    for i in range(N)]
+            Vh_d, _ = box_integrals(body, h_lo, h_hi, p=p, s=s,
+                                    inner_axis=vol_inner)
+            Vh_d = jnp.clip(Vh_d, 0.0, V_cells)
+            Vh.append(_pad_cells(Vh_d, np_shape))
 
     # --- staggered volumes W[d] ---------------------------------------------
     W = []
@@ -627,11 +691,15 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
         cell_types=cell_types,
         mesh=mesh_ref,
         body=body,
+        Am=tuple(Am) if do_moms else None,
+        Bm=tuple(Bm) if do_moms else None,
+        Vh=tuple(Vh) if do_moms else None,
     )
 
 
 def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
-                        mesh_ref, spacetime, np_shape, budget, safety):
+                        mesh_ref, spacetime, np_shape, budget, safety,
+                        cut_moments=False):
     """Narrow-band capacity pipeline: one nodal SDF pass classifies every
     cell/face; quadrature runs only on the band, compacted into a
     static-size buffer (``jnp.nonzero(size=budget)``), so the cost scales
@@ -681,7 +749,10 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
                for d in range(N)]
 
     # --- face capacities A[d] on the face band ------------------------------
+    do_moms = cut_moments and N >= 2 and not spacetime
+    eps_m = jnp.finfo(dtype).tiny ** 0.5
     A = []
+    Am = []
     for d in range(N):
         fband, ffull = face_masks[d]
         fshape = fband.shape
@@ -706,9 +777,26 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         def phi_face(*cs, _d=d, _f=fco):
             return body(*_insert(cs, _d, _f))
 
-        Ad_b, _ = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
+        Ad_b, Amoms_b = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
         Ad = _scatter_flat(jnp.where(ffull, cross_meas, 0.0),
                            fidx, Ad_b, fshape)
+        if do_moms:
+            Asafe_b = jnp.maximum(Ad_b, eps_m)
+            comps, ci = [], 0
+            for i in range(N):
+                if i == d:
+                    comps.append(_pad_cells(fco_full, np_shape))
+                else:
+                    fc_full = jnp.broadcast_to(
+                        0.5 * (lo[i] + hi[i]), fshape)
+                    cen_b = jnp.where(
+                        Ad_b > eps_m, Amoms_b[ci] / Asafe_b,
+                        0.5 * (cross_lo[ci] + cross_hi[ci]))
+                    comps.append(_pad_cells(
+                        _scatter_flat(fc_full, fidx, cen_b, fshape),
+                        np_shape))
+                    ci += 1
+            Am.append(jnp.stack(comps, axis=-1))
         # boundary-face consistency (see the dense path): interior faces
         # with an empty cell on either side carry no interior flux;
         # static builds only (see the dense path for why)
@@ -718,6 +806,7 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
 
     # --- centroid-line capacities B[d] on the cell band ---------------------
     B = []
+    Bm = []
     for d in range(N):
         cross = [i for i in range(N) if i != d]
         cross_meas = 1.0
@@ -731,11 +820,39 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         def phi_line(*cs, _d=d, _c=ccoord):
             return body(*_insert(cs, _d, _c))
 
-        Bd_b, _ = box_integrals(phi_line, cross_lo, cross_hi, p=p, s=s)
+        Bd_b, Bmoms_b = box_integrals(phi_line, cross_lo, cross_hi, p=p, s=s)
         Bd = _scatter_flat(jnp.where(far_full, cross_meas, 0.0),
                            cidx, Bd_b, n)
         Bd = jnp.where(is_empty, 0.0, Bd)
         B.append(_pad_cells(Bd, np_shape))
+        if do_moms:
+            Bsafe_b = jnp.maximum(Bd_b, eps_m)
+            comps, ci = [], 0
+            for i in range(N):
+                if i == d:
+                    comps.append(_pad_cells(C_cells[d], np_shape))
+                else:
+                    cen_b = jnp.where(Bd_b > eps_m, Bmoms_b[ci] / Bsafe_b,
+                                      0.5 * (cross_lo[ci] + cross_hi[ci]))
+                    comps.append(_pad_cells(
+                        _scatter_flat(box_center[i], cidx, cen_b, n),
+                        np_shape))
+                    ci += 1
+            Bm.append(jnp.stack(comps, axis=-1))
+
+    # --- lower-half-cell volumes Vh[d] (cut-moment builds only) -------------
+    Vh = []
+    if do_moms:
+        for d in range(N):
+            h_lo = [_gather_cells(lo[i], n, cg) for i in range(N)]
+            h_hi = [(C_cells[d].ravel()[cg] if i == d
+                     else _gather_cells(hi[i], n, cg)) for i in range(N)]
+            Vh_b, _ = box_integrals(body, h_lo, h_hi, p=p, s=s,
+                                    inner_axis=vol_inner)
+            Vh_d = _scatter_flat(jnp.where(far_full, 0.5 * full_vol, 0.0),
+                                 cidx, Vh_b, n)
+            Vh_d = jnp.clip(Vh_d, 0.0, V_cells)
+            Vh.append(_pad_cells(Vh_d, np_shape))
 
     # --- staggered volumes W[d] (band = either adjacent cell banded) --------
     W = []
@@ -808,7 +925,97 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
                      axis=-1)
     return Capacity(A=tuple(A), B=tuple(B), V=V, W=tuple(W), C_om=C_om,
                     C_ga=C_ga, Gamma=Gamma, cell_types=cell_types,
-                    mesh=mesh_ref, body=body)
+                    mesh=mesh_ref, body=body,
+                    Am=tuple(Am) if do_moms else None,
+                    Bm=tuple(Bm) if do_moms else None,
+                    Vh=tuple(Vh) if do_moms else None)
+
+
+def _shift_hi(x, d):
+    """y[k] = x[k+1] along axis d, zero in the last slot."""
+    pad = [(0, 0)] * x.ndim
+    pad[d] = (0, 1)
+    sl = [slice(None)] * x.ndim
+    sl[d] = slice(1, None)
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+def gamma_half_moments(capacity):
+    """Per-axis, per-half-strip interface moments for the moment-consistent
+    cut-flux closure.
+
+    The flux operator's uγ coefficients at face k along axis ``a`` are
+    ``S_lo(k) = A_a(k) − B_a(k)`` (the lo half of cell k) and
+    ``S_hi(k−1) = B_a(k−1) − A_a(k)`` (the hi half of cell k−1) — exactly
+    the n_a-weighted interface measures ``∫_Γ∩half n_a dS`` by the
+    divergence identity.  The matching first moments follow from Gauss with
+    F = x_j e_a over each wet half-cell:
+
+    - lo half:  ``∫ x_j n_a = A·Am_j − B·Bm_j``  (j ≠ a),
+                ``∫ x_a n_a = Vh − C_a·B + node_lo·A``
+    - hi half:  ``∫ x_j n_a = B·Bm_j − A_hi·Am_hi_j``  (j ≠ a),
+                ``∫ x_a n_a = (V−Vh) − node_hi·A_hi + C_a·B``
+
+    Returns a list over axes ``a`` of ``(S_lo, X_lo, S_hi, X_hi)`` with
+    ``S_*`` the signed measures (np_shape) and ``X_*`` the centroids
+    ``M/S`` (np_shape + (N,)); where |S| is below a tolerance the centroid
+    falls back to ``C_ga`` so any ``g(X) − g(C_ga)`` correction vanishes.
+    Requires a ``cut_moments=True`` capacity build.
+    """
+    if capacity.Bm is None:
+        raise ValueError("gamma_half_moments needs a cut_moments=True build")
+    N = capacity.ndim
+    mesh = capacity.mesh
+    np_shape = capacity.np_shape
+    dt_ = capacity.V.dtype
+    V = capacity.V
+    C_ga = capacity.C_ga
+    out = []
+    for a in range(N):
+        A_a = capacity.A[a]
+        B_a = capacity.B[a]
+        A_hi = _shift_hi(A_a, a)
+        C_a = capacity.C_om[..., a]
+        Vh = capacity.Vh[a]
+        Vhi = V - Vh
+        # per-cell lo/hi face coordinates on the padded grid
+        nd = mesh.n[a] + 1
+        nod = np.zeros(np_shape[a])
+        nod[:nd] = np.asarray(mesh.nodes[a])
+        nod[nd:] = nod[nd - 1]
+        shp = [1] * N
+        shp[a] = np_shape[a]
+        node_lo = jnp.asarray(nod.reshape(shp), dt_)
+        node_hi = _shift_hi(jnp.broadcast_to(node_lo, np_shape)
+                            * jnp.ones((), dt_), a)
+        S_lo = A_a - B_a
+        S_hi = B_a - A_hi
+        # tolerance: a tiny fraction of the full cross-face measure
+        h_all = [float(hv) for hv in mesh.h]
+        face_meas = 1.0
+        for i in range(N):
+            if i != a:
+                face_meas *= h_all[i]
+        tol = (1e-7 if jnp.finfo(dt_).bits >= 64 else 1e-4) * face_meas
+        X_lo, X_hi = [], []
+        for j in range(N):
+            if j == a:
+                M_lo = Vh - C_a * B_a + node_lo * A_a
+                M_hi = Vhi - node_hi * A_hi + C_a * B_a
+            else:
+                AAm = A_a * capacity.Am[a][..., j]
+                BBm = B_a * capacity.Bm[a][..., j]
+                M_lo = AAm - BBm
+                M_hi = BBm - _shift_hi(AAm, a)
+            S_lo_safe = jnp.where(jnp.abs(S_lo) > tol, S_lo, 1.0)
+            S_hi_safe = jnp.where(jnp.abs(S_hi) > tol, S_hi, 1.0)
+            X_lo.append(jnp.where(jnp.abs(S_lo) > tol, M_lo / S_lo_safe,
+                                  C_ga[..., j]))
+            X_hi.append(jnp.where(jnp.abs(S_hi) > tol, M_hi / S_hi_safe,
+                                  C_ga[..., j]))
+        out.append((S_lo, jnp.stack(X_lo, axis=-1),
+                    S_hi, jnp.stack(X_hi, axis=-1)))
+    return out
 
 
 def compute_cell_volumes(body, mesh, p: int = 4, s: int = 1, dtype=None,

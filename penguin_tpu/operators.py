@@ -169,7 +169,7 @@ def sp_t(y, axis, periodic=False):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "B", "V", "Wdag"],
+    data_fields=["A", "B", "V", "Wdag", "Xw"],
     meta_fields=["periodic"],
 )
 @dataclasses.dataclass
@@ -178,6 +178,19 @@ class DiffusionOps:
 
     ``G_d x = Dm_d(B_d x)``; ``H_d x = A_d Dm_d(x) - Dm_d(B_d x)``;
     ``Wdag = 1/W`` where ``W != 0`` else 1 (src/operators.jl:144-152).
+
+    ``Xw`` (optional, from ``make_diffusion_ops(..., cross_moment=True)``)
+    is the wet-line cross-moment correction: ``B_d x`` samples the field at
+    the cell centroid, but the exact Gauss identity for the staggered-strip
+    flux needs the average of ``x`` over the *wet section* of the centroid
+    plane, whose own centroid is offset transversally by up to h/2 in cut
+    cells.  With ``Xw`` set, ``G_d x = Dm_d(P_d x)`` where ``P_d x = B_d x
+    + Σ_{e≠d} B_d δ_{d,e} ∂x/∂x_e`` (masked transverse differences of wet
+    neighbours), which makes the flux exact for linear fields; ``Gᵀ`` uses
+    the exact adjoint ``P_dᵀ`` so the viscous form stays symmetric.  This
+    removes the O(1) cut-row flux inconsistency behind the O(h)
+    immersed-wall placement the reference shares
+    (/root/reference/src/solver/stokes.jl:122-178).
     """
 
     A: tuple
@@ -185,6 +198,7 @@ class DiffusionOps:
     V: jnp.ndarray
     Wdag: tuple
     periodic: tuple = None
+    Xw: tuple = None  # per d: per e tuple (wp, w0, wm) or None
 
     @property
     def ndim(self):
@@ -193,9 +207,29 @@ class DiffusionOps:
     def _per(self, d):
         return False if self.periodic is None else self.periodic[d]
 
+    def _P(self, d, x):
+        """B_d x plus the wet-line transverse cross-moment correction."""
+        y = self.B[d] * x
+        if self.Xw is not None:
+            k0, slots = self.Xw[d]
+            y = y + k0 * x
+            for e, (wp, wm) in enumerate(slots):
+                y = y + wp * _shift_p(x, e) + wm * _shift_m(x, e)
+        return y
+
+    def _PT(self, d, y):
+        """Exact adjoint of ``_P(d, ·)``."""
+        x = self.B[d] * y
+        if self.Xw is not None:
+            k0, slots = self.Xw[d]
+            x = x + k0 * y
+            for e, (wp, wm) in enumerate(slots):
+                x = x + _shift_m(wp * y, e) + _shift_p(wm * y, e)
+        return x
+
     # --- building blocks ---------------------------------------------------
     def G(self, x):
-        return tuple(dm(self.B[d] * x, d, self._per(d)) for d in range(self.ndim))
+        return tuple(dm(self._P(d, x), d, self._per(d)) for d in range(self.ndim))
 
     def H(self, x):
         return tuple(
@@ -206,7 +240,7 @@ class DiffusionOps:
     def GT(self, q):
         out = 0.0
         for d in range(self.ndim):
-            out = out + self.B[d] * dm_t(q[d], d, self._per(d))
+            out = out + self._PT(d, dm_t(q[d], d, self._per(d)))
         return out
 
     def HT(self, q):
@@ -226,7 +260,7 @@ class DiffusionOps:
         return tuple(
             self.Wdag[d]
             * (
-                dm(self.B[d] * x_omega, d, self._per(d))
+                dm(self._P(d, x_omega), d, self._per(d))
                 + self.A[d] * dm(x_gamma, d, self._per(d))
                 - dm(self.B[d] * x_gamma, d, self._per(d))
             )
@@ -247,19 +281,96 @@ def make_wdag(W):
     return tuple(jnp.where(w != 0.0, 1.0 / jnp.where(w != 0.0, w, 1.0), 1.0) for w in W)
 
 
-def make_diffusion_ops(capacity, periodic=None) -> DiffusionOps:
+def _cross_weights(capacity):
+    """Shift-stencil weights realizing ``B_d Σ_e δ_{d,e} ∂x/∂x_e`` at every
+    cut cell, where ``δ_{d,e} = Bm[d]_e − C_om_e`` is the transverse offset
+    of the wet-line centroid.
+
+    The gradient is a per-cell weighted least-squares fit over ALL wet
+    face-neighbours using their FULL centroid offsets — cut-cell centroids
+    are displaced in every coordinate, so a plain axis-aligned difference
+    quotient picks up an O(1) cross-axis contamination exactly at the cut
+    cells the correction targets (measured: max cut-face flux error of a
+    linear field stays O(1) with axis quotients, machine-zero with the
+    LSQ fit).  Weights are static geometry; the result per component d is
+    ``(K0, ((wp_e, wm_e))_e)`` with exact adjoint in ``_PT``."""
+    N = len(capacity.A)
+    C = capacity.C_om
+    dt_ = capacity.V.dtype
+    tiny = jnp.asarray(jnp.finfo(dt_).tiny, dt_)
+    wet = (capacity.V > 0.0).astype(dt_)
+    is_cut = capacity.cell_types == -1
+    shape = capacity.V.shape
+
+    # neighbour slots: (axis e, +1) -> shift_p source, (axis e, -1) -> shift_m
+    slots = []
+    for e in range(N):
+        for sgn, sh in ((+1, _shift_p), (-1, _shift_m)):
+            m_i = sh(wet, e)
+            dC = jnp.stack([sh(C[..., j], e) - C[..., j] for j in range(N)],
+                           axis=-1)
+            dC = dC * m_i[..., None]
+            d2 = jnp.sum(dC * dC, axis=-1)
+            wgt = jnp.where(d2 > tiny, m_i / jnp.maximum(d2, tiny), 0.0)
+            slots.append((e, sgn, dC, wgt))
+
+    # normal matrix S = Σ w_i ΔC ΔCᵀ  (per cell, N×N), regularized
+    S = jnp.zeros(shape + (N, N), dt_)
+    for (_, _, dC, wgt) in slots:
+        S = S + wgt[..., None, None] * dC[..., :, None] * dC[..., None, :]
+    tr = jnp.trace(S, axis1=-2, axis2=-1)
+    reg = (1e-10 * jnp.maximum(tr, tiny) + tiny)[..., None, None] \
+        * jnp.eye(N, dtype=dt_)
+    Sinv = jnp.linalg.inv(S + reg)
+    # degenerate fits (fewer than N independent neighbours): drop the
+    # correction rather than trust an ill-conditioned gradient
+    ok = (tr > tiny) & (jnp.linalg.det(S) > (1e-8 * jnp.maximum(tr, tiny)
+                                             / N) ** N)
+
+    Xw = []
+    for d in range(N):
+        delta = jnp.stack(
+            [jnp.where(is_cut, capacity.Bm[d][..., e] - C[..., e], 0.0)
+             if e != d else jnp.zeros(shape, dt_) for e in range(N)],
+            axis=-1) * capacity.B[d][..., None]
+        # c_i = (δᵀ S⁻¹ ΔC_i) w_i  — coefficient on (x_i − x_0)
+        dS = jnp.einsum("...j,...jk->...k", delta, Sinv)
+        k0 = jnp.zeros(shape, dt_)
+        per_axis = [[None, None] for _ in range(N)]
+        for (e, sgn, dC, wgt) in slots:
+            c = jnp.einsum("...k,...k->...", dS, dC) * wgt
+            c = jnp.where(ok, c, 0.0)
+            k0 = k0 - c
+            per_axis[e][0 if sgn > 0 else 1] = c
+        Xw.append((k0, tuple((pa[0], pa[1]) for pa in per_axis)))
+    return tuple(Xw)
+
+
+def make_diffusion_ops(capacity, periodic=None,
+                       cross_moment=False) -> DiffusionOps:
+    """``cross_moment=True`` (requires a ``cut_moments=True`` capacity
+    build) activates the wet-line cross-moment correction of ``B_d x`` —
+    see :class:`DiffusionOps`."""
+    Xw = None
+    if cross_moment:
+        if capacity.Bm is None:
+            raise ValueError(
+                "cross_moment=True needs capacity cut moments; build with "
+                "compute_capacity(..., cut_moments=True)")
+        Xw = _cross_weights(capacity)
     return DiffusionOps(
         A=capacity.A,
         B=capacity.B,
         V=capacity.V,
         Wdag=make_wdag(capacity.W),
         periodic=periodic,
+        Xw=Xw,
     )
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "B", "V", "Wdag", "u_face", "k_diag"],
+    data_fields=["A", "B", "V", "Wdag", "Xw", "u_face", "k_diag"],
     meta_fields=["periodic"],
 )
 @dataclasses.dataclass

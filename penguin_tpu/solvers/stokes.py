@@ -225,7 +225,7 @@ class StokesMono:
     """Fully coupled steady/unsteady Stokes."""
 
     def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None,
-                 wall_row="center", cut_row="center"):
+                 wall_row="center", cut_row="center", cut_flux="centroid"):
         self.fluid = fluid
         self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
         self.gauge = pressure_gauge or PinPressureGauge()
@@ -234,6 +234,40 @@ class StokesMono:
         # per-component tuple (e.g. a rotating wall: uγ_x = -Ω y, uγ_y = Ω x)
         N = fluid.ndim
         self.N = N
+        # ``cut_flux="moment"``: moment-consistent cut viscous flux —
+        # (a) wet-line cross-moment sampling of B·u in G/Gᵀ (operators
+        # rebuilt with cross_moment=True) and (b) the uγ boundary term
+        # evaluated at the per-axis per-half-strip n_d-weighted Γ centroids
+        # instead of C_ga (a pure RHS correction, see _gamma_moment_rhs).
+        # Together they make the cut flux exact for linear velocity fields,
+        # fixing the O(h) immersed-wall placement the reference shares
+        # (src/solver/stokes.jl:122-178).  Requires capacities built with
+        # ``cut_moments=True``.
+        self.cut_flux = cut_flux
+        self._ghm = None
+        self._ghm_p = None
+        if cut_flux == "moment" and isinstance(self._cut(0), Traction):
+            raise ValueError("cut_flux='moment' supports Dirichlet cut "
+                             "conditions only (not Traction)")
+        if cut_flux == "moment":
+            from ..capacity import gamma_half_moments
+            from ..operators import make_diffusion_ops as _mkops
+            if any(fluid.capacity_u[d].Bm is None for d in range(N)):
+                raise ValueError(
+                    "cut_flux='moment' needs capacities built with "
+                    "compute_capacity(..., cut_moments=True)")
+            new_ops = tuple(
+                (_mkops(fluid.capacity_u[d],
+                        periodic=fluid.operator_u[d].periodic,
+                        cross_moment=True)
+                 if fluid.operator_u[d].Xw is None else fluid.operator_u[d])
+                for d in range(N))
+            self.fluid = fluid = dataclasses.replace(fluid,
+                                                     operator_u=new_ops)
+            self._ghm = tuple(gamma_half_moments(fluid.capacity_u[d])
+                              for d in range(N))
+            self._ghm_p = (gamma_half_moments(fluid.capacity_p)
+                           if fluid.capacity_p.Bm is not None else None)
         self.mu_diag = tuple(
             coefficient_diag(fluid.mu, fluid.capacity_u[d]) for d in range(N)
         )
@@ -545,6 +579,66 @@ class StokesMono:
         return bw.ravel().at[g["gpos"]].set(cw * uwall).reshape(bw.shape)
 
     # ------------------------------------------------------------------
+    def _gamma_moment_rhs(self, d, t=None):
+        """μ Gᵀ Wꜝ Δq — the uγ placement correction of the cut viscous
+        flux (``cut_flux="moment"``).  Δq_a(face k) = S_hi(k−1)·[g(X_hi) −
+        g(C_ga)](k−1) + S_lo(k)·[g(X_lo) − g(C_ga)](k): the exact
+        per-half-strip Γ boundary term for the prescribed Dirichlet data g
+        minus what the uγ = g(C_ga) tie delivers through H.  Subtract from
+        the momentum RHS (data, so the operator and its preconditioner are
+        unchanged)."""
+        if self._ghm is None:
+            return None
+        N = self.N
+        cap = self.fluid.capacity_u[d]
+        ops = self.fluid.operator_u[d]
+        g = self._cut(d).value
+        # same evaluation points as the tie rows (C_ga where cut, C_om
+        # elsewhere) so the correction subtracts exactly what H delivers
+        Cg = jnp.where((cap.cell_types == -1)[..., None],
+                       cap.C_ga, cap.C_om)
+        g_cga = eval_condition_value(g, [Cg[..., i] for i in range(N)], t)
+        dq = []
+        for a in range(N):
+            S_lo, X_lo, S_hi, X_hi = self._ghm[d][a]
+            g_lo = eval_condition_value(
+                g, [X_lo[..., i] for i in range(N)], t)
+            g_hi = eval_condition_value(
+                g, [X_hi[..., i] for i in range(N)], t)
+            D_lo = S_lo * (g_lo - g_cga)
+            D_hi = S_hi * (g_hi - g_cga)
+            dq.append(_shift_m(D_hi, a) + D_lo)
+        return self.mu_diag[d] * ops.GT(ops.Wq(tuple(dq)))
+
+    def _cont_moment_rhs(self, t=None):
+        """Continuity γ-placement correction (``cut_flux="moment"``).
+
+        The discrete continuity γ-term at p-cell k along d is
+        ``S_lo(k)·uγ_d(k) + S_hi(k)·uγ_d(k+1)`` (p-mesh half-strip
+        measures; note the hi half pairs with the NEXT cell's γ DOF).  The
+        exact Γ mass term is ``S_lo·g_d(X_lo) + S_hi·g_d(X_hi)`` with X
+        the n_d-weighted Γ centroids of the p-mesh half-cells.  Returns
+        Δ = exact − discrete(data) to subtract from the continuity RHS."""
+        if self._ghm_p is None:
+            return None
+        N = self.N
+        delta = 0.0
+        for d in range(N):
+            cap_u = self.fluid.capacity_u[d]
+            g = self._cut(d).value
+            Cg = jnp.where((cap_u.cell_types == -1)[..., None],
+                           cap_u.C_ga, cap_u.C_om)
+            gtie = eval_condition_value(g, [Cg[..., i] for i in range(N)], t)
+            gtie = jnp.broadcast_to(gtie, cap_u.V.shape)
+            S_lo, X_lo, S_hi, X_hi = self._ghm_p[d]
+            g_lo = eval_condition_value(
+                g, [X_lo[..., i] for i in range(N)], t)
+            g_hi = eval_condition_value(
+                g, [X_hi[..., i] for i in range(N)], t)
+            delta = delta + S_lo * (g_lo - gtie) \
+                + S_hi * (g_hi - _shift_p(gtie, d))
+        return delta
+
     def _traction_row(self, d, uw, ug, p):
         ops = self.fluid.operator_u[d]
         q = ops.flux(uw, ug)
@@ -621,16 +715,33 @@ class StokesMono:
             fu_d = fu[d] if isinstance(fu, (tuple, list)) else fu
             f = eval_condition_value(fu_d, coords, t)
             bw = ops.V * f
-            Cg = cap.C_ga
+            # tie evaluation points: interface centroid where the cell is
+            # cut, the CELL centroid elsewhere.  C_ga is stored as the
+            # zero vector at non-cut cells, and their uγ DOFs are NOT all
+            # structurally inert: the continuity γ-term pairs cell k's
+            # hi-half measure with uγ(k+1), so the γ of a full cell one
+            # step inside the fluid enters cut continuity rows with O(h)
+            # weight.  Evaluating g at the origin there injected O(1)
+            # bogus wall values as mass sources (measured on the Couette
+            # annulus: a 0.18 wall-normal velocity leak at the θ=π outer
+            # wall).
+            Cg = jnp.where((cap.cell_types == -1)[..., None],
+                           cap.C_ga, cap.C_om)
             gco = [Cg[..., i] for i in range(Cg.shape[-1])]
             bg = eval_condition_value(self._cut(d).value, gco, t)
             if self.traction:
                 bg = jnp.where(self.trac_active[d], bg, 0.0)
+            corr = self._gamma_moment_rhs(d, t)
+            if corr is not None:
+                bw = bw - corr
             bw = jnp.where(self.u_active[d], bw, 0.0)
             bw = self._ghost_rhs(d, bw, t)
             bw, bg = self.borders[d].rhs(bw, bg, t)
             out += [bw, bg]
         bp = jnp.zeros_like(self.fluid.capacity_p.V)
+        dc = self._cont_moment_rhs(t)
+        if dc is not None:
+            bp = jnp.where(self.p_active, -dc, bp)
         bp = self._gauge_rhs(bp)
         return tuple(out) + (bp,)
 
@@ -682,8 +793,14 @@ class StokesMono:
                 bw = mass * uw_p - (1 - theta) * self._visc(d, uw_p, ug_p) + load
                 if extra_mom is not None:
                     bw = bw + extra_mom[d]
+                if self._ghm is not None:
+                    corr_n = self._gamma_moment_rhs(d, t_next)
+                    corr_p = self._gamma_moment_rhs(d, t_prev)
+                    bw = bw - theta * corr_n - (1 - theta) * corr_p
                 bw = jnp.where(self.u_active[d], bw, 0.0)
-                Cg = cap.C_ga
+                # C_om fallback at non-cut cells — see rhs_steady
+                Cg = jnp.where((cap.cell_types == -1)[..., None],
+                               cap.C_ga, cap.C_om)
                 gco = [Cg[..., i] for i in range(Cg.shape[-1])]
                 bg = eval_condition_value(self._cut(d).value, gco, t_next)
                 if self.traction:
@@ -692,6 +809,9 @@ class StokesMono:
                 bw, bg = self.borders[d].rhs(bw, bg, t_next)
                 out += [bw, bg]
             bp = jnp.zeros_like(self.fluid.capacity_p.V)
+            dc = self._cont_moment_rhs(t_next)
+            if dc is not None:
+                bp = jnp.where(self.p_active, -dc, bp)
             bp = self._gauge_rhs(bp)
             return tuple(out) + (bp,)
 

@@ -91,7 +91,11 @@ class StokesDiph:
                 coords = [C[..., i] for i in range(C.shape[-1])]
                 f = eval_condition_value(phase.fluid.f_u, coords)
                 bw = jnp.where(phase.u_active[d], ops.V * f, 0.0)
-                Cg = cap.C_ga
+                # C_om fallback at non-cut cells (C_ga is the zero vector
+                # there and full-cell γ DOFs still reach cut continuity
+                # rows through the hi-half pairing — see stokes.py)
+                Cg = jnp.where((cap.cell_types == -1)[..., None],
+                               cap.C_ga, cap.C_om)
                 gco = [Cg[..., i] for i in range(Cg.shape[-1])]
                 val = jump.value if is_a else flux.value
                 bg = eval_condition_value(val, gco)
