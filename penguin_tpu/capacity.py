@@ -537,7 +537,12 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
     # convergence of every solver on 'unlucky' geometries.  Domain-border
     # faces (no far-side cell) are exempt — the border rows own them.
     do_moms = cut_moments and N >= 2 and not spacetime
-    eps_m = jnp.finfo(dtype).tiny ** 0.5
+    # relative measure floor for centroid validity: f32 quadrature noise on
+    # near-empty faces is ~1e-7 of the measure scale — an absolute ~tiny
+    # gate lets noise/noise centroid ratios through (measured: 1e13-scale
+    # junk coordinates NaN'd the f32 DFG solve); centroids are also
+    # clamped to their own cell box below
+    eps_rel = 1e-12 if jnp.finfo(dtype).bits >= 64 else 1e-5
     A = []
     Am = []
     for d in range(N):
@@ -558,7 +563,13 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
             if do_moms:
                 # wet-face centroid (first moments come free from the
                 # quadrature; the d-component is the face coordinate)
-                Asafe = jnp.maximum(Ad, eps_m)
+                cross_meas_f = 1.0
+                for i in range(N):
+                    if i != d:
+                        cross_meas_f = cross_meas_f * (hi[i] - lo[i])
+                eps_m = eps_rel * cross_meas_f
+                Asafe = jnp.maximum(Ad, jnp.asarray(
+                    jnp.finfo(dtype).tiny, dtype))
                 comps, ci = [], 0
                 for i in range(N):
                     if i == d:
@@ -566,6 +577,7 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
                     else:
                         fc = 0.5 * (cross_lo[ci] + cross_hi[ci])
                         cen = jnp.where(Ad > eps_m, Amoms[ci] / Asafe, fc)
+                        cen = jnp.clip(cen, cross_lo[ci], cross_hi[ci])
                         comps.append(jnp.broadcast_to(cen, fshape))
                         ci += 1
                 Am.append(jnp.stack(
@@ -596,7 +608,13 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
 
             Bd, Bmoms = box_integrals(phi_line, cross_lo, cross_hi, p=p, s=s)
             if do_moms:
-                Bsafe = jnp.maximum(Bd, eps_m)
+                cross_meas_f = 1.0
+                for i in range(N):
+                    if i != d:
+                        cross_meas_f = cross_meas_f * (hi[i] - lo[i])
+                eps_m = eps_rel * cross_meas_f
+                Bsafe = jnp.maximum(Bd, jnp.asarray(
+                    jnp.finfo(dtype).tiny, dtype))
                 comps, ci = [], 0
                 for i in range(N):
                     if i == d:
@@ -604,6 +622,7 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
                     else:
                         cen = jnp.where(Bd > eps_m, Bmoms[ci] / Bsafe,
                                         box_center[i])
+                        cen = jnp.clip(cen, cross_lo[ci], cross_hi[ci])
                         comps.append(jnp.broadcast_to(cen, n))
                         ci += 1
                 Bm.append(jnp.stack(
@@ -750,7 +769,9 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
 
     # --- face capacities A[d] on the face band ------------------------------
     do_moms = cut_moments and N >= 2 and not spacetime
-    eps_m = jnp.finfo(dtype).tiny ** 0.5
+    # relative measure floor + cell-box clamping — see the dense path
+    eps_rel = 1e-12 if jnp.finfo(dtype).bits >= 64 else 1e-5
+    tiny_d = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     A = []
     Am = []
     for d in range(N):
@@ -781,7 +802,9 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         Ad = _scatter_flat(jnp.where(ffull, cross_meas, 0.0),
                            fidx, Ad_b, fshape)
         if do_moms:
-            Asafe_b = jnp.maximum(Ad_b, eps_m)
+            eps_m = eps_rel * jnp.broadcast_to(cross_meas, fshape
+                                               ).ravel()[fg]
+            Asafe_b = jnp.maximum(Ad_b, tiny_d)
             comps, ci = [], 0
             for i in range(N):
                 if i == d:
@@ -792,6 +815,7 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
                     cen_b = jnp.where(
                         Ad_b > eps_m, Amoms_b[ci] / Asafe_b,
                         0.5 * (cross_lo[ci] + cross_hi[ci]))
+                    cen_b = jnp.clip(cen_b, cross_lo[ci], cross_hi[ci])
                     comps.append(_pad_cells(
                         _scatter_flat(fc_full, fidx, cen_b, fshape),
                         np_shape))
@@ -826,7 +850,8 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         Bd = jnp.where(is_empty, 0.0, Bd)
         B.append(_pad_cells(Bd, np_shape))
         if do_moms:
-            Bsafe_b = jnp.maximum(Bd_b, eps_m)
+            eps_m = eps_rel * cross_meas.ravel()[cg]
+            Bsafe_b = jnp.maximum(Bd_b, tiny_d)
             comps, ci = [], 0
             for i in range(N):
                 if i == d:
@@ -834,6 +859,7 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
                 else:
                     cen_b = jnp.where(Bd_b > eps_m, Bmoms_b[ci] / Bsafe_b,
                                       0.5 * (cross_lo[ci] + cross_hi[ci]))
+                    cen_b = jnp.clip(cen_b, cross_lo[ci], cross_hi[ci])
                     comps.append(_pad_cells(
                         _scatter_flat(box_center[i], cidx, cen_b, n),
                         np_shape))
@@ -1009,10 +1035,23 @@ def gamma_half_moments(capacity):
                 M_hi = BBm - _shift_hi(AAm, a)
             S_lo_safe = jnp.where(jnp.abs(S_lo) > tol, S_lo, 1.0)
             S_hi_safe = jnp.where(jnp.abs(S_hi) > tol, S_hi, 1.0)
-            X_lo.append(jnp.where(jnp.abs(S_lo) > tol, M_lo / S_lo_safe,
-                                  C_ga[..., j]))
-            X_hi.append(jnp.where(jnp.abs(S_hi) > tol, M_hi / S_hi_safe,
-                                  C_ga[..., j]))
+            # clamp to the cell box along j: a Γ centroid lives inside its
+            # cell; f32 moment noise divided by small |S| can land far
+            # outside and blow up the g(X) evaluation
+            ndj = mesh.n[j] + 1
+            nodj = np.zeros(np_shape[j])
+            nodj[:ndj] = np.asarray(mesh.nodes[j])
+            nodj[ndj:] = nodj[ndj - 1]
+            shpj = [1] * N
+            shpj[j] = np_shape[j]
+            clo = jnp.asarray(nodj.reshape(shpj), dt_)
+            chi = clo + jnp.asarray(mesh.h[j], dt_)
+            X_lo.append(jnp.clip(
+                jnp.where(jnp.abs(S_lo) > tol, M_lo / S_lo_safe,
+                          C_ga[..., j]), clo, chi))
+            X_hi.append(jnp.clip(
+                jnp.where(jnp.abs(S_hi) > tol, M_hi / S_hi_safe,
+                          C_ga[..., j]), clo, chi))
         out.append((S_lo, jnp.stack(X_lo, axis=-1),
                     S_hi, jnp.stack(X_hi, axis=-1)))
     return out

@@ -211,20 +211,14 @@ class DiffusionOps:
         """B_d x plus the wet-line transverse cross-moment correction."""
         y = self.B[d] * x
         if self.Xw is not None:
-            k0, slots = self.Xw[d]
-            y = y + k0 * x
-            for e, (wp, wm) in enumerate(slots):
-                y = y + wp * _shift_p(x, e) + wm * _shift_m(x, e)
+            y = y + sw_apply(self.Xw[d], x)
         return y
 
     def _PT(self, d, y):
         """Exact adjoint of ``_P(d, ·)``."""
         x = self.B[d] * y
         if self.Xw is not None:
-            k0, slots = self.Xw[d]
-            x = x + k0 * y
-            for e, (wp, wm) in enumerate(slots):
-                x = x + _shift_m(wp * y, e) + _shift_p(wm * y, e)
+            x = x + sw_applyT(self.Xw[d], y)
         return x
 
     # --- building blocks ---------------------------------------------------
@@ -281,68 +275,108 @@ def make_wdag(W):
     return tuple(jnp.where(w != 0.0, 1.0 / jnp.where(w != 0.0, w, 1.0), 1.0) for w in W)
 
 
-def _cross_weights(capacity):
-    """Shift-stencil weights realizing ``B_d Σ_e δ_{d,e} ∂x/∂x_e`` at every
-    cut cell, where ``δ_{d,e} = Bm[d]_e − C_om_e`` is the transverse offset
-    of the wet-line centroid.
+class _LsqGradient:
+    """Per-cell weighted least-squares gradient fit over all wet
+    face-neighbours at their FULL centroid offsets.
 
-    The gradient is a per-cell weighted least-squares fit over ALL wet
-    face-neighbours using their FULL centroid offsets — cut-cell centroids
-    are displaced in every coordinate, so a plain axis-aligned difference
-    quotient picks up an O(1) cross-axis contamination exactly at the cut
-    cells the correction targets (measured: max cut-face flux error of a
-    linear field stays O(1) with axis quotients, machine-zero with the
-    LSQ fit).  Weights are static geometry; the result per component d is
-    ``(K0, ((wp_e, wm_e))_e)`` with exact adjoint in ``_PT``."""
+    Cut-cell centroids are displaced in every coordinate, so a plain
+    axis-aligned difference quotient picks up an O(1) cross-axis
+    contamination exactly at the cut cells the moment corrections target
+    (measured: max cut-face flux error of a linear field stays O(1) with
+    axis quotients, roundoff with the LSQ fit).  ``weights_for(delta)``
+    turns a per-cell offset vector into the shift-stencil weights
+    ``(K0, ((wp_e, wm_e))_e)`` realizing ``delta · ∇x``; apply with
+    :func:`sw_apply` (exact adjoint :func:`sw_applyT`)."""
+
+    def __init__(self, capacity):
+        N = len(capacity.A)
+        C = capacity.C_om
+        dt_ = capacity.V.dtype
+        tiny = jnp.asarray(jnp.finfo(dt_).tiny, dt_)
+        wet = (capacity.V > 0.0).astype(dt_)
+        shape = capacity.V.shape
+        self.N, self.dtype, self.shape = N, dt_, shape
+
+        # neighbour slots: (axis e, ±1) -> shift_p / shift_m source
+        slots = []
+        for e in range(N):
+            for sgn, sh in ((+1, _shift_p), (-1, _shift_m)):
+                m_i = sh(wet, e)
+                dC = jnp.stack([sh(C[..., j], e) - C[..., j]
+                                for j in range(N)], axis=-1)
+                dC = dC * m_i[..., None]
+                d2 = jnp.sum(dC * dC, axis=-1)
+                wgt = jnp.where(d2 > tiny, m_i / jnp.maximum(d2, tiny), 0.0)
+                slots.append((e, sgn, dC, wgt))
+        self.slots = slots
+
+        # normal matrix S = Σ w_i ΔC ΔCᵀ  (per cell, N×N), regularized
+        S = jnp.zeros(shape + (N, N), dt_)
+        for (_, _, dC, wgt) in slots:
+            S = S + wgt[..., None, None] * dC[..., :, None] * dC[..., None, :]
+        tr = jnp.trace(S, axis1=-2, axis2=-1)
+        reg_rel = 1e-10 if jnp.finfo(dt_).bits >= 64 else 1e-5
+        reg = (reg_rel * jnp.maximum(tr, tiny) + tiny)[..., None, None] \
+            * jnp.eye(N, dtype=dt_)
+        Sinv = jnp.linalg.inv(S + reg)
+        self.Sinv = jnp.where(jnp.isfinite(Sinv), Sinv, 0.0)
+        # degenerate fits (fewer than N independent neighbours): drop the
+        # correction rather than trust an ill-conditioned gradient.  det
+        # threshold relative to (tr/N)^N, dtype-aware for f32.
+        det_rel = 1e-8 if jnp.finfo(dt_).bits >= 64 else 1e-4
+        self.ok = (tr > tiny) & (jnp.linalg.det(S) >
+                                 (det_rel ** (1.0 / N)
+                                  * jnp.maximum(tr, tiny) / N) ** N)
+
+    def weights_for(self, delta):
+        """Shift weights for ``delta · ∇x`` (``delta``: shape + (N,))."""
+        N = self.N
+        dS = jnp.einsum("...j,...jk->...k", delta, self.Sinv)
+        k0 = jnp.zeros(self.shape, self.dtype)
+        per_axis = [[None, None] for _ in range(N)]
+        for (e, sgn, dC, wgt) in self.slots:
+            c = jnp.einsum("...k,...k->...", dS, dC) * wgt
+            c = jnp.where(self.ok, c, 0.0)
+            k0 = k0 - c
+            per_axis[e][0 if sgn > 0 else 1] = c
+        return (k0, tuple((pa[0], pa[1]) for pa in per_axis))
+
+
+def sw_apply(w, x):
+    """Apply shift-stencil weights ``(K0, ((wp_e, wm_e))_e)`` to x."""
+    k0, slots = w
+    y = k0 * x
+    for e, (wp, wm) in enumerate(slots):
+        y = y + wp * _shift_p(x, e) + wm * _shift_m(x, e)
+    return y
+
+
+def sw_applyT(w, y):
+    """Exact adjoint of :func:`sw_apply`."""
+    k0, slots = w
+    x = k0 * y
+    for e, (wp, wm) in enumerate(slots):
+        x = x + _shift_m(wp * y, e) + _shift_p(wm * y, e)
+    return x
+
+
+def _cross_weights(capacity):
+    """Xw weights realizing ``B_d Σ_{e≠d} δ_{d,e} ∂x/∂x_e`` at every cut
+    cell, ``δ_{d,e} = Bm[d]_e − C_om_e`` the transverse offset of the
+    wet-line centroid (see :class:`_LsqGradient`)."""
     N = len(capacity.A)
     C = capacity.C_om
     dt_ = capacity.V.dtype
-    tiny = jnp.asarray(jnp.finfo(dt_).tiny, dt_)
-    wet = (capacity.V > 0.0).astype(dt_)
-    is_cut = capacity.cell_types == -1
     shape = capacity.V.shape
-
-    # neighbour slots: (axis e, +1) -> shift_p source, (axis e, -1) -> shift_m
-    slots = []
-    for e in range(N):
-        for sgn, sh in ((+1, _shift_p), (-1, _shift_m)):
-            m_i = sh(wet, e)
-            dC = jnp.stack([sh(C[..., j], e) - C[..., j] for j in range(N)],
-                           axis=-1)
-            dC = dC * m_i[..., None]
-            d2 = jnp.sum(dC * dC, axis=-1)
-            wgt = jnp.where(d2 > tiny, m_i / jnp.maximum(d2, tiny), 0.0)
-            slots.append((e, sgn, dC, wgt))
-
-    # normal matrix S = Σ w_i ΔC ΔCᵀ  (per cell, N×N), regularized
-    S = jnp.zeros(shape + (N, N), dt_)
-    for (_, _, dC, wgt) in slots:
-        S = S + wgt[..., None, None] * dC[..., :, None] * dC[..., None, :]
-    tr = jnp.trace(S, axis1=-2, axis2=-1)
-    reg = (1e-10 * jnp.maximum(tr, tiny) + tiny)[..., None, None] \
-        * jnp.eye(N, dtype=dt_)
-    Sinv = jnp.linalg.inv(S + reg)
-    # degenerate fits (fewer than N independent neighbours): drop the
-    # correction rather than trust an ill-conditioned gradient
-    ok = (tr > tiny) & (jnp.linalg.det(S) > (1e-8 * jnp.maximum(tr, tiny)
-                                             / N) ** N)
-
+    is_cut = capacity.cell_types == -1
+    lsq = _LsqGradient(capacity)
     Xw = []
     for d in range(N):
         delta = jnp.stack(
             [jnp.where(is_cut, capacity.Bm[d][..., e] - C[..., e], 0.0)
              if e != d else jnp.zeros(shape, dt_) for e in range(N)],
             axis=-1) * capacity.B[d][..., None]
-        # c_i = (δᵀ S⁻¹ ΔC_i) w_i  — coefficient on (x_i − x_0)
-        dS = jnp.einsum("...j,...jk->...k", delta, Sinv)
-        k0 = jnp.zeros(shape, dt_)
-        per_axis = [[None, None] for _ in range(N)]
-        for (e, sgn, dC, wgt) in slots:
-            c = jnp.einsum("...k,...k->...", dS, dC) * wgt
-            c = jnp.where(ok, c, 0.0)
-            k0 = k0 - c
-            per_axis[e][0 if sgn > 0 else 1] = c
-        Xw.append((k0, tuple((pa[0], pa[1]) for pa in per_axis)))
+        Xw.append(lsq.weights_for(delta))
     return tuple(Xw)
 
 

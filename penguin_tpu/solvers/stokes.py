@@ -246,6 +246,7 @@ class StokesMono:
         self.cut_flux = cut_flux
         self._ghm = None
         self._ghm_p = None
+        self._divw = None
         if cut_flux == "moment" and isinstance(self._cut(0), Traction):
             raise ValueError("cut_flux='moment' supports Dirichlet cut "
                              "conditions only (not Traction)")
@@ -268,6 +269,37 @@ class StokesMono:
                               for d in range(N))
             self._ghm_p = (gamma_half_moments(fluid.capacity_p)
                            if fluid.capacity_p.Bm is not None else None)
+            # divergence/pressure-gradient cross-moment pair: continuity
+            # samples A^p_d·uω_d at the full-face centre, but the exact
+            # mass flux needs u at the WET-face centroid Am^p — the u_d
+            # DOF (cell centre of the staggered component mesh) coincides
+            # with the p-face centre only for uncut cells.  Correction
+            # P^A(u) = A·u + A·(δ·∇u), δ = Am^p[d] − C_om^{u_d}, with the
+            # same LSQ gradients (on the component-d capacity); the
+            # pressure gradient uses the exact adjoint so the saddle
+            # point stays symmetric.  This is the pressure-drag half of
+            # the moment closure (γ mass placement is _cont_moment_rhs).
+            self._divw = None
+            if self._ghm_p is not None:
+                from ..operators import _LsqGradient
+                cap_p = fluid.capacity_p
+                divw = []
+                for d in range(N):
+                    cap_u = fluid.capacity_u[d]
+                    lsq = _LsqGradient(cap_u)
+                    delta = cap_p.Am[d] - cap_u.C_om
+                    hmax = jnp.asarray(max(float(v)
+                                           for v in fluid.mesh_p.h),
+                                       delta.dtype)
+                    delta = jnp.clip(delta, -hmax, hmax)
+                    # active only where the face is partially wet or the
+                    # u-cell is cut; elsewhere δ is quadrature noise
+                    face_cut = (cap_p.cell_types == -1) | \
+                        (cap_u.cell_types == -1)
+                    delta = jnp.where(face_cut[..., None], delta, 0.0)
+                    delta = delta * cap_p.A[d][..., None]
+                    divw.append(lsq.weights_for(delta))
+                self._divw = tuple(divw)
         self.mu_diag = tuple(
             coefficient_diag(fluid.mu, fluid.capacity_u[d]) for d in range(N)
         )
@@ -661,7 +693,23 @@ class StokesMono:
 
     def _grad(self, d, p):
         opp = self.fluid.operator_p
-        return -(opp.A[d] * dm(p, d, opp._per(d)))
+        g = -(opp.A[d] * dm(p, d, opp._per(d)))
+        if self._divw is not None:
+            from ..operators import sw_applyT
+            g = g - sw_applyT(self._divw[d], dm(p, d, opp._per(d)))
+        return g
+
+    def _div(self, uws, ugs):
+        """Continuity operator incl. the wet-face cross-moment correction
+        (adjoint pair of :meth:`_grad`)."""
+        out = stokes_divergence(self.fluid, uws, ugs)
+        if self._divw is not None:
+            from ..operators import sw_apply
+            opp = self.fluid.operator_p
+            for d in range(self.N):
+                out = out - dm_t(sw_apply(self._divw[d], uws[d]), d,
+                                 opp._per(d))
+        return out
 
     def _gauge_fix(self, yp, p):
         if self.outflow_p_mask is not None:
@@ -694,7 +742,7 @@ class StokesMono:
             yg = self._tie_or_traction(d, uws[d], ugs[d], p)
             yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
             out += [yw, yg]
-        yp = stokes_divergence(self.fluid, uws, ugs)
+        yp = self._div(uws, ugs)
         yp = jnp.where(self.p_active, yp, p)
         yp = self._gauge_fix(yp, p)
         return tuple(out) + (yp,)
@@ -765,7 +813,7 @@ class StokesMono:
                 yg = self._tie_or_traction(d, uws[d], ugs[d], p)
                 yw, yg = self.borders[d].matvec(yw, yg, uws[d], ugs[d])
                 out += [yw, yg]
-            yp = stokes_divergence(self.fluid, uws, ugs)
+            yp = self._div(uws, ugs)
             yp = jnp.where(self.p_active, yp, p)
             yp = self._gauge_fix(yp, p)
             return tuple(out) + (yp,)
@@ -1125,7 +1173,7 @@ class StokesMono:
             rp = r[2 * N]
             y = tuple(dinv[d] * rws[d] for d in range(N))
             zg = rgs
-            s = rp - stokes_divergence(self.fluid, y, zg)
+            s = rp - self._div(y, zg)
             s = jnp.where(self.p_active, s, 0.0)
             if self.pin_mask is not None:
                 s = jnp.where(self.pin_mask, 0.0, s)
