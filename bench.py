@@ -1,9 +1,16 @@
 """North-star benchmark: 1024^2 unsteady cut-cell heat (BE, embedded circle)
 ms/step on one TPU chip.  Target from BASELINE.md: < 10 ms/step.
 
-Prints exactly one JSON line:
+Prints exactly one JSON line (the north-star row):
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 ``vs_baseline`` = value / 10.0 (fraction of the target budget; < 1 beats it).
+
+Stderr carries the honesty rows the JSON omits: CG iterations per step at
+the north-star dt (0.25 h² — the EASY regime: the BE system is
+near-identity and the warm-started CG converges in a few iterations) and
+the STIFF row at dt = 100 h² (where an implicit cut-cell solver earns its
+keep: ~400x worse conditioning), with its own ms/step and iteration
+counts.
 """
 
 import json
@@ -31,28 +38,39 @@ def main():
     bc_b = pt.BorderConditions(
         {k: pt.Dirichlet(0.0) for k in ("left", "right", "top", "bottom")}
     )
-    dt = 0.25 * (lx / nx) ** 2
-    fast = FastHeatBE(cap, ops, 1.0, lambda x, y, z, t: 0.0, pt.Dirichlet(1.0),
-                      bc_b, dt, cg_tol=1e-5, cg_maxiter=24, dtype=jnp.float32)
+    h2 = (lx / nx) ** 2
 
-    T = jnp.zeros(mesh.np_shape, jnp.float32)
-    # warmup (compile + first steps); synchronize via a device->host scalar
-    # read — through the remote-dispatch tunnel block_until_ready does NOT
-    # wait for execution, so naive timings measure dispatch latency only
-    T = fast.run(T, 5)
-    float(T.max())
+    def bench_dt(dt, cg_maxiter, cg_tol=1e-5, n2=800):
+        fast = FastHeatBE(cap, ops, 1.0, lambda x, y, z, t: 0.0,
+                          pt.Dirichlet(1.0), bc_b, dt, cg_tol=cg_tol,
+                          cg_maxiter=cg_maxiter, dtype=jnp.float32)
+        T = jnp.zeros(mesh.np_shape, jnp.float32)
+        # warmup (compile + first steps); synchronize via a device->host
+        # scalar read — through the remote-dispatch tunnel
+        # block_until_ready does NOT wait for execution, so naive timings
+        # measure dispatch latency only
+        T, it_last, it_max = fast.run_telemetry(T, 5)
+        float(T.max())
 
-    # difference two loop lengths to cancel the fixed per-call round-trip
-    # cost (~30-45 ms through the tunnel); min over repeats rejects jitter
-    def timed(n):
-        t0 = time.time()
-        out = fast.run(T, n)
-        float(out.sum())
-        return time.time() - t0
+        # difference two loop lengths to cancel the fixed per-call
+        # round-trip cost (~30-45 ms through the tunnel); min over
+        # repeats rejects jitter
+        def timed(n):
+            t0 = time.time()
+            out = fast.run(T, n)
+            float(out.sum())
+            return time.time() - t0
 
-    n1, n2 = 50, 800
-    timed(n1)  # settle the executable/queue
-    ms = min((timed(n2) - timed(n1)) / (n2 - n1) * 1e3 for _ in range(3))
+        n1 = max(n2 // 16, 10)
+        timed(n1)  # settle the executable/queue
+        ms = min((timed(n2) - timed(n1)) / (n2 - n1) * 1e3
+                 for _ in range(3))
+        # iteration telemetry over a settled span (warm-started CG)
+        _, it_last, it_max = fast.run_telemetry(T, n1)
+        return ms, int(it_last), int(it_max)
+
+    dt_easy = 0.25 * h2
+    ms, it_last, it_max = bench_dt(dt_easy, cg_maxiter=24)
 
     print(
         json.dumps(
@@ -64,7 +82,16 @@ def main():
             }
         )
     )
-    print(f"# capacity build: {t_cap:.2f}s; device={jax.devices()[0]}", file=sys.stderr)
+    print(f"# capacity build: {t_cap:.2f}s; device={jax.devices()[0]}",
+          file=sys.stderr)
+    print(f"# north-star dt=0.25h^2: {ms:.4f} ms/step, warm-started CG "
+          f"iters/step last={it_last} max={it_max} (tol 1e-5)",
+          file=sys.stderr)
+    ms_s, it_last_s, it_max_s = bench_dt(100.0 * h2, cg_maxiter=600,
+                                         n2=100)
+    print(f"# stiff dt=100h^2:      {ms_s:.4f} ms/step, CG iters/step "
+          f"last={it_last_s} max={it_max_s} (tol 1e-5, maxiter 600)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -33,5 +33,7 @@ T1 = np.asarray(solver.x[0])
 T2 = np.asarray(solver.x[2])
 g1 = np.asarray(solver.x[1]); g2 = np.asarray(solver.x[3])
 i1 = np.abs(g1) > 0
+ratio = g1[i1][0] / g2[np.abs(g2) > 0][0]
 print(f"interface values: T1_gamma={g1[i1][:1]}, T2_gamma={g2[np.abs(g2)>0][:1]} "
-      f"(jump ratio {g1[i1][0] / g2[np.abs(g2)>0][0]:.3f}, expect 0.5)")
+      f"(jump ratio {ratio:.3f}, expect 0.5)")
+assert abs(ratio - 0.5) < 0.01, ratio  # ScalarJump alpha ratio enforced discretely

@@ -41,4 +41,6 @@ solver.solve(xf0, t_start, t_end, ic, newton_params=(200, 1e-10, 1e-10, 1.0))
 
 n = len(solver.xf_log)
 t_eff = t_start + n * dt
-print(f"front: {solver.xf:.5f}  analytic: {stefan_interface_position(t_eff, k, lam):.5f}")
+xf_exact = stefan_interface_position(t_eff, k, lam)
+print(f"front: {solver.xf:.5f}  analytic: {xf_exact:.5f}")
+assert abs(solver.xf - xf_exact) / xf_exact < 0.05, (solver.xf, xf_exact)

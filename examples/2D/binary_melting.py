@@ -37,6 +37,10 @@ solver = DiffusionUnsteadyBinary(mk(), mk(), mk(), mk(), bc_T, bc_C,
 solver.solve(body, body_c, 0.0, 10 * dt, method="direct")
 T1, T1g, T2, T2g, C1, C1g, C2, C2g = [np.asarray(v) for v in solver.x]
 g = np.asarray(solver.x[1]) != 0
-print(f"interface: T_gamma={T1g[np.abs(T1g)>0][:1]}, "
-      f"C1_gamma={C1g[np.abs(C1g)>0][:1]}, C2_gamma={C2g[np.abs(C2g)>0][:1]} "
+Tg = T1g[np.abs(T1g) > 0][0]
+C1v = C1g[np.abs(C1g) > 0][0]
+C2v = C2g[np.abs(C2g) > 0][0]
+print(f"interface: T_gamma={Tg:.6f}, C1_gamma={C1v:.6f}, C2_gamma={C2v:.6f} "
       f"(partition C2=k C1, liquidus T=Tm+m C1)")
+assert abs(C2v - 0.8 * C1v) < 1e-6, (C1v, C2v)          # partition row
+assert abs(Tg - (0.0 - 0.5 * C1v)) < 1e-6, (Tg, C1v)    # liquidus row

@@ -56,5 +56,8 @@ coupler = NavierStokesScalarCoupler(
 )
 coupler.run(dt=0.01, t_end=0.05)
 uy = np.asarray(coupler.x[2])
-print(f"hot-wall updraft: {uy[1:4, 1:n-1].mean():+.5f}   "
-      f"cold-wall downdraft: {uy[n-4:n-1, 1:n-1].mean():+.5f}")
+up = uy[1:4, 1:n-1].mean()
+down = uy[n-4:n-1, 1:n-1].mean()
+print(f"hot-wall updraft: {up:+.5f}   cold-wall downdraft: {down:+.5f}")
+assert up > 0.02 and down < -0.02, (up, down)      # buoyant circulation
+assert abs(up + down) < 0.2 * abs(up), (up, down)  # near-antisymmetric

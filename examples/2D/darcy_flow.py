@@ -27,5 +27,7 @@ solver.solve(method="direct")
 u = solve_darcy_velocity(solver, phase)
 ux = np.asarray(u[0])
 wet = (np.asarray(cap.W[0]) > 0) & np.isfinite(ux)
-print(f"mean Darcy u_x over wet faces: {ux[wet].mean():.4f} "
+mean_ux = ux[wet].mean()
+print(f"mean Darcy u_x over wet faces: {mean_ux:.4f} "
       f"(impermeable inclusion slows the unit base flow)")
+assert 0.6 < mean_ux < 1.0, mean_ux  # unit base flow, slowed by the inclusion

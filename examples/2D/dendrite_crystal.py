@@ -50,5 +50,7 @@ mk = np.asarray(solver.markers)
 r = np.sqrt((mk[:, 0] - 4) ** 2 + (mk[:, 1] - 4) ** 2)
 print(f"crystal radius: mean {r.mean():.3f}, lobes preserved "
       f"(max-min {r.max() - r.min():.3f})")
+assert 0.7 < r.mean() < 1.2, r.mean()           # seed-scale crystal survives
+assert r.max() - r.min() > 0.1, (r.max(), r.min())  # lobes not smoothed away
 viz.plot_interface_evolution(solver.marker_log, filename="dendrite_fronts.png")
 print("wrote dendrite_fronts.png")

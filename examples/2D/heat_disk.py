@@ -36,6 +36,8 @@ dt = 0.25 * (lx / nx) ** 2
 solver = DiffusionUnsteadyMono(phase, bc_b, bc, dt, (z, z), "BE")
 solver.solve(0.1, method="bicgstab")
 
-print("max T:", float(jnp.abs(solver.x_omega).max()))
+maxT = float(jnp.abs(solver.x_omega).max())
+print("max T:", maxT)
+assert 0.9 < maxT <= 1.0 + 1e-6, maxT  # warmed toward the unit cut BC, maximum principle
 viz.plot_solution(solver, mesh, circle, capacity, filename="heat_disk.png")
 print("wrote heat_disk.png")

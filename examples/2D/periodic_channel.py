@@ -38,5 +38,8 @@ solver = StokesMono(fluid, (bc, bc), PinPressureGauge(), pt.Dirichlet(0.0))
 solver.solve(method="lstsq")
 ux = np.asarray(solver.velocity(0))[:n, :n]
 h = L / n
-print(f"centerline u: {ux[n // 2].max():.6f}  "
-      f"analytic (walls at cell centers): {((L - h) / 2) ** 2 / (2 * mu):.6f}")
+u_num = ux[n // 2].max()
+u_ref = ((L - h) / 2) ** 2 / (2 * mu)
+print(f"centerline u: {u_num:.6f}  "
+      f"analytic (walls at cell centers): {u_ref:.6f}")
+assert abs(u_num - u_ref) / u_ref < 0.01, (u_num, u_ref)

@@ -49,7 +49,10 @@ solver.solve(front, 0.0, 0.2, ic, newton_params=(12, 1e-4, 1e-6, 1.0),
 mk = np.asarray(solver.markers)
 radii = np.sqrt((mk[:, 0] - center[0]) ** 2 + (mk[:, 1] - center[1]) ** 2)
 n = len(solver.residual_log)
-print(f"mean radius {radii.mean():.4f}  analytic {S*np.sqrt(t0+n*dt):.4f}  "
+R_exact = S * np.sqrt(t0 + n * dt)
+print(f"mean radius {radii.mean():.4f}  analytic {R_exact:.4f}  "
       f"roundness std {radii.std():.4f}")
+assert abs(radii.mean() - R_exact) / R_exact < 0.07, (radii.mean(), R_exact)
+assert radii.std() / radii.mean() < 0.12, radii.std()
 viz.plot_interface_evolution(solver.marker_log, filename="stefan_disk_front.png")
 print("wrote stefan_disk_front.png")

@@ -18,7 +18,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_grid_mesh", "grid_sharding", "shard_pytree", "padded_mesh",
            "dryrun_heat_multichip", "dryrun_stokes_multichip",
-           "dryrun_moving_multichip", "dryrun_stefan_multichip"]
+           "dryrun_moving_multichip", "dryrun_stefan_multichip",
+           "dryrun_ns_multichip"]
 
 
 def _factor2(n):
@@ -231,6 +232,101 @@ def dryrun_moving_multichip(n_devices, grid=(30, 30)):
     err = max(float(jnp.abs(a - b).max()) for a, b in zip(out, x_ref))
     assert err < 1e-8, f"sharded vs single-device moving step mismatch: {err}"
     return out
+
+
+def dryrun_ns_multichip(n_devices, grid=(48, 24), n_steps=3,
+                        check_hlo=True):
+    """The production multi-chip FLOW path: the chunked unsteady
+    Navier-Stokes scan — CN θ-scheme with AB2-extrapolated convection and
+    the block-Schur-preconditioned GMRES inner loop — executed SPMD on a
+    channel-cylinder geometry (the DFG layout shrunk), with the staggered
+    velocity/pressure state sharded over the ('x','y') device mesh.
+
+    Verifies (a) sharded == unsharded final state after ``n_steps`` CN/AB2
+    steps, and (b) the compiled scan's HLO contains no all-gather
+    materializing a grid-sized array — the state stays decomposed through
+    convection, RHS build, GMRES (halo exchanges + psum reductions) and
+    the γ/border surgeries."""
+    import re
+
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu.solvers.navierstokes import NavierStokesMono
+    from penguin_tpu.solvers.stokes import PinPressureGauge
+
+    dev_mesh = make_grid_mesh(n_devices)
+    nx, ny = grid
+    Lx, Ly = 2.2, 0.41
+    R, cx, cy = 0.05, 0.2, 0.2
+    dt = 0.01
+
+    def setup():
+        dx = Lx / nx
+        mesh_p = padded_mesh(dev_mesh, (nx, ny), (Lx, Ly), (0.0, 0.0))
+        mesh_ux = padded_mesh(dev_mesh, (nx, ny), (Lx, Ly), (-0.5 * dx, 0.0))
+        mesh_uy = padded_mesh(dev_mesh, (nx, ny), (Lx, Ly),
+                              (0.0, -0.5 * (Ly / ny)))
+        body = pt.geometry.complement(pt.geometry.circle((cx, cy), R))
+        caps = [pt.compute_capacity(body, m, p=4, s=1)
+                for m in (mesh_ux, mesh_uy, mesh_p)]
+        fluid = pt.Fluid(
+            mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+            capacity_u=(caps[0], caps[1]),
+            operator_u=(pt.make_diffusion_ops(caps[0]),
+                        pt.make_diffusion_ops(caps[1])),
+            capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+            mu=1e-3, rho=1.0,
+            f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+        )
+
+        def inflow(x, y, z=0.0, t=None):
+            xi = y / Ly
+            return 0.3 * 4.0 * xi * (1.0 - xi)
+
+        noslip = pt.Dirichlet(0.0)
+        bc_ux = pt.BorderConditions({"left": pt.Dirichlet(inflow),
+                                     "right": pt.Outflow(),
+                                     "bottom": noslip, "top": noslip})
+        bc_uy = pt.BorderConditions({"left": noslip, "right": noslip,
+                                     "bottom": noslip, "top": noslip})
+        return NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                                pt.Dirichlet(0.0))
+
+    kw = dict(scheme="CN", method="pgmres", tol=1e-8, maxiter=80)
+
+    solver_ref = setup()
+    x_ref = solver_ref.solve_unsteady(dt, n_steps * dt, **kw)
+
+    solver_sh = setup()
+    sharding = grid_sharding(dev_mesh)
+    x0_sh = tuple(jax.device_put(f, sharding)
+                  for f in solver_sh.zero_state())
+    x_sh = solver_sh.solve_unsteady(dt, n_steps * dt, x0=x0_sh, **kw)
+
+    scale = max(float(jax.numpy.abs(a).max()) for a in x_ref)
+    err = max(float(jax.numpy.abs(a - b).max())
+              for a, b in zip(x_sh, x_ref))
+    assert err < 1e-6 * max(scale, 1.0), \
+        f"sharded vs single-device NS mismatch: {err} (scale {scale})"
+
+    if check_hlo:
+        run = next(iter(solver_sh._unsteady_run_cache.values()))
+        txt = run.lower(x0_sh, 0.0).compile().as_text()
+        ncells = int(np.prod(solver_sh.fluid.mesh_p.np_shape))
+        offenders = []
+        for m in re.finditer(r"(\S+)\s*=\s*\S*\s*all-gather\(", txt):
+            line = txt[m.start():txt.find("\n", m.start())]
+            shapes = re.findall(r"[a-z0-9]+\[([0-9,]+)\]",
+                                line.split("=")[0])
+            for sh in shapes:
+                n_el = int(np.prod([int(v) for v in sh.split(",") if v]))
+                if n_el >= ncells:
+                    offenders.append(line.strip()[:160])
+        assert not offenders, (
+            "grid-sized all-gather(s) in the compiled NS scan:\n"
+            + "\n".join(offenders))
+    return x_sh
 
 
 def dryrun_stefan_multichip(n_devices, grid=(32, 32), nm=32,

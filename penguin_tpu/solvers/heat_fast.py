@@ -121,6 +121,22 @@ def _run_fn(kind, tiles, cg_maxiter, params, Tp, n_steps):
     return Tn
 
 
+@partial(jax.jit, static_argnames=("kind", "tiles", "cg_maxiter"))
+def _run_telemetry_fn(kind, tiles, cg_maxiter, params, Tp, n_steps):
+    """Like ``_run_fn`` but carries CG-iteration telemetry (last / max
+    over the run) — the cost is one extra scalar pair in the carry."""
+    def body(_, carry):
+        T, T1, T2, _last, mx = carry
+        Tn, it = _step_fn(kind, tiles, cg_maxiter, params,
+                          T, 3.0 * T - 3.0 * T1 + T2)
+        return (Tn, T, T1, it, jnp.maximum(mx, it))
+
+    z = jnp.zeros((), jnp.int32)
+    Tn, _, _, last, mx = jax.lax.fori_loop(
+        0, n_steps, body, (Tp, Tp, Tp, z, z))
+    return Tn, last, mx
+
+
 @partial(jax.jit, static_argnames=("kind", "tiles"))
 def _matvec_fn(kind, tiles, coeffs, xp):
     return _apply_stencil(kind, tiles, coeffs, xp)
@@ -325,3 +341,12 @@ class FastHeatBE:
         Tn = _run_fn(self._kind, self._tiles, self._cg_maxiter, self._params,
                      self._pad(T0), n_steps)
         return self._crop(Tn)
+
+    def run_telemetry(self, T0, n_steps):
+        """Like :meth:`run`, also returning (cg_iters_last, cg_iters_max)
+        over the span — the bench uses it to record how hard the implicit
+        solve actually works at a given dt."""
+        Tn, last, mx = _run_telemetry_fn(
+            self._kind, self._tiles, self._cg_maxiter, self._params,
+            self._pad(T0), n_steps)
+        return self._crop(Tn), last, mx

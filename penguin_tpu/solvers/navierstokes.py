@@ -121,7 +121,8 @@ class NavierStokesMono(StokesMono):
     # unsteady: implicit viscous + AB2 explicit convection
     # ------------------------------------------------------------------
     def solve_unsteady(self, dt, t_end, scheme="CN", method="auto", x0=None,
-                       tol=1e-10, maxiter=None, record=None, t_start=0.0):
+                       tol=1e-10, maxiter=None, record=None, t_start=0.0,
+                       conv_prev=None):
         """``record``: optional jittable ``f(x) -> pytree of scalars``
         evaluated on every step's state inside the scan (e.g. interface
         forces / probe pressures for the DFG Cd/Cl time series — the
@@ -134,8 +135,10 @@ class NavierStokesMono(StokesMono):
         long run be split into warm-started chunks (``x0`` = previous
         chunk's state): one multi-minute device-side scan can trip the
         TPU-runtime watchdog (observed as a worker crash on the 4000-step
-        DFG run).  Chunk boundaries restart the AB2 extrapolation with one
-        AB1 step."""
+        DFG run).  ``conv_prev``: the previous chunk's final convection
+        carry (``self.conv_prev_out``) — passing it keeps every step AB2
+        across chunk boundaries; without it each chunk restarts with one
+        locally-first-order AB1 step."""
         theta = 0.5 if scheme in ("CN", "cn") else 1.0
         rho = self.fluid.rho
         rho_val = 1.0 if callable(rho) else float(rho)
@@ -188,15 +191,17 @@ class NavierStokesMono(StokesMono):
                     return pgmres(apply_fn, b, x0_, Minv=M, tol=tol,
                                   maxiter=maxiter or 400, restart=60)
             elif method == "fgmres":
-                # flexible GMRES with an inner-CG Schur solve: no spectral
-                # bounds, so it survives geometries where the Chebyshev
-                # bound estimate mistunes (e.g. the 256x128 DFG channel,
-                # where pgmres stalls at relres ~1e-2 and the run blows up)
+                # flexible GMRES with the DCT-Poisson/CG Schur solve: no
+                # spectral bounds, so it survives geometries where the
+                # Chebyshev bound estimate mistunes (e.g. the 256x128 DFG
+                # channel, where pgmres stalls at relres ~1e-2 and the
+                # run blows up); the DCT surrogate keeps the inner
+                # iteration count mesh-size-independent
                 from ..linsolve import fgmres
 
                 M = self.make_block_preconditioner(dt=dt, theta=theta,
-                                                   schur="cg",
-                                                   schur_cg_iters=50)
+                                                   schur="dct_cg",
+                                                   schur_cg_iters=20)
 
                 def lin_solve(b, x0_=None):
                     return fgmres(apply_fn, b, x0_, Minv=M, tol=tol,
@@ -219,8 +224,12 @@ class NavierStokesMono(StokesMono):
                 return base_rhs(xc, t, t + dt, extra_mom=extra)
 
             @jax.jit
-            def run(x0_, t0_):
+            def run(x0_, t0_, cp0_, first0_):
                 conv0 = self.conv_vectors(x0_)
+                # AB2 carry across chunks: use the caller's conv_prev when
+                # given (first0_=False), else fall back to AB1 on step 0
+                conv0 = tuple(
+                    jnp.where(first0_, c, p) for c, p in zip(conv0, cp0_))
 
                 def body(carry, k):
                     xc, conv_p, first = carry
@@ -236,15 +245,21 @@ class NavierStokesMono(StokesMono):
                     rec = record(xn) if record is not None else None
                     return (xn, conv_c, jnp.asarray(False)), (aux, rec)
 
-                (xf, _, _), aux = jax.lax.scan(
-                    body, (x0_, conv0, jnp.asarray(True)),
+                (xf, conv_f, _), aux = jax.lax.scan(
+                    body, (x0_, conv0, first0_),
                     jnp.arange(n_steps, dtype=jnp.float64),
                 )
-                return xf, aux
+                return xf, conv_f, aux
 
             cache[key] = run
 
-        self.x, (aux, rec) = run(x, t_start)
+        if conv_prev is None:
+            cp0 = tuple(jnp.zeros_like(u) for u in x[0:2 * N:2])
+            first0 = jnp.asarray(True)
+        else:
+            cp0 = conv_prev
+            first0 = jnp.asarray(False)
+        self.x, self.conv_prev_out, (aux, rec) = run(x, t_start, cp0, first0)
         if telemetry:
             self.krylov_iters = np.asarray(aux[0])
             self.krylov_relres = np.asarray(aux[1])
@@ -324,7 +339,16 @@ class NavierStokesMono(StokesMono):
                 def run(x0_, t0_):
                     def body(xc, k):
                         t = t0_ + k * dt
-                        b = base_rhs(xc, t, t + dt)
+                        if theta < 1.0:
+                            # θ-scheme consistency: the (1−θ) explicit
+                            # convection half lives on the RHS (the
+                            # implicit side carries only θ·conv)
+                            conv_c = self.conv_vectors(xc)
+                            extra = tuple(-(1.0 - theta) * rho_val * c
+                                          for c in conv_c)
+                            b = base_rhs(xc, t, t + dt, extra_mom=extra)
+                        else:
+                            b = base_rhs(xc, t, t + dt)
                         x_it = xc
                         for _ in range(picard_iters):
                             x_it, its, rel = fgmres(
@@ -351,7 +375,13 @@ class NavierStokesMono(StokesMono):
 
         for k in range(n_steps):
             t = t_start + k * dt
-            b = base_rhs(x, t, t + dt)
+            if theta < 1.0:
+                conv_c = self.conv_vectors(x)
+                b = base_rhs(x, t, t + dt,
+                             extra_mom=tuple(-(1.0 - theta) * rho_val * c
+                                             for c in conv_c))
+            else:
+                b = base_rhs(x, t, t + dt)
             x_it = x
             for it in range(picard_iters):
                 uws_k = x_it[0:2 * N:2]

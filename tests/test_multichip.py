@@ -75,3 +75,12 @@ def test_dryrun_stefan_multichip():
     from penguin_tpu.parallel.sharding import dryrun_stefan_multichip
 
     dryrun_stefan_multichip(8, grid=(32, 32), nm=32)
+
+
+def test_dryrun_ns_multichip():
+    """The chunked unsteady NS scan (CN/AB2 + preconditioned GMRES inner
+    loop) sharded == unsharded, HLO free of grid-sized all-gathers — the
+    production multi-chip flow path."""
+    from penguin_tpu.parallel.sharding import dryrun_ns_multichip
+
+    dryrun_ns_multichip(8)

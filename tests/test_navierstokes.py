@@ -322,3 +322,62 @@ def test_outflow_convection_transparent_both_sides():
     # low-side outlet (flow <-): previously saw the quarter-flux wall
     lo = conv_at_outlet("left", "right", -1.0)
     np.testing.assert_allclose(lo, 0.0, atol=1e-12)
+
+
+def test_chunked_ab2_conv_carry_exact():
+    """Chunked unsteady runs with conv_prev carried across chunk
+    boundaries reproduce the single-scan trajectory bit-exactly (the AB2
+    convection history is the only cross-chunk state besides x)."""
+    import penguin_tpu as pt
+    from penguin_tpu.solvers.navierstokes import NavierStokesMono
+    from penguin_tpu.solvers.stokes import PinPressureGauge
+
+    def make():
+        nx, ny = 32, 16
+        Lx, Ly = 2.2, 0.41
+        dx = Lx / nx
+        mesh_p = pt.Mesh((nx, ny), (Lx, Ly), (0.0, 0.0))
+        mesh_ux = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, 0.0))
+        mesh_uy = pt.Mesh((nx, ny), (Lx, Ly), (0.0, -0.5 * (Ly / ny)))
+        body = pt.geometry.complement(pt.geometry.circle((0.2, 0.2), 0.05))
+        caps = [pt.compute_capacity(body, m, p=4, s=1)
+                for m in (mesh_ux, mesh_uy, mesh_p)]
+        fluid = pt.Fluid(
+            mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+            capacity_u=(caps[0], caps[1]),
+            operator_u=(pt.make_diffusion_ops(caps[0]),
+                        pt.make_diffusion_ops(caps[1])),
+            capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+            mu=1e-3, rho=1.0,
+            f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0)
+
+        def inflow(x, y, z=0.0, t=None):
+            xi = y / Ly
+            return 0.3 * 4 * xi * (1 - xi)
+
+        ns_ = pt.Dirichlet(0.0)
+        bc_ux = pt.BorderConditions(
+            {"left": pt.Dirichlet(inflow), "right": pt.Outflow(),
+             "bottom": ns_, "top": ns_})
+        bc_uy = pt.BorderConditions(
+            {k: ns_ for k in ("left", "right", "bottom", "top")})
+        return NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                                pt.Dirichlet(0.0))
+
+    import jax.numpy as jnp
+
+    dt = 0.005
+    s1 = make()
+    x_full = s1.solve_unsteady(dt, 8 * dt, scheme="CN", method="fgmres",
+                               tol=1e-10, maxiter=120)
+    s2 = make()
+    x = None
+    cp = None
+    for k0 in (0, 4):
+        x = s2.solve_unsteady(dt, (k0 + 4) * dt, scheme="CN",
+                              method="fgmres", tol=1e-10, maxiter=120,
+                              x0=x, t_start=k0 * dt, conv_prev=cp)
+        cp = s2.conv_prev_out
+    err = max(float(jnp.abs(a - b).max()) for a, b in zip(x, x_full))
+    scale = max(float(jnp.abs(a).max()) for a in x_full)
+    assert err < 1e-10 * max(scale, 1.0), (err, scale)
