@@ -312,7 +312,9 @@ def dryrun_ns_multichip(n_devices, grid=(48, 24), n_steps=3,
 
     if check_hlo:
         run = next(iter(solver_sh._unsteady_run_cache.values()))
-        txt = run.lower(x0_sh, 0.0).compile().as_text()
+        cp0 = tuple(jax.numpy.zeros_like(u) for u in x0_sh[0:2 * 2:2])
+        txt = run.lower(x0_sh, 0.0, cp0,
+                        jax.numpy.asarray(True)).compile().as_text()
         ncells = int(np.prod(solver_sh.fluid.mesh_p.np_shape))
         offenders = []
         for m in re.finditer(r"(\S+)\s*=\s*\S*\s*all-gather\(", txt):
