@@ -41,3 +41,5 @@ ux = np.asarray(solver.velocity(0))
 center = ux[n // 2, :n]
 print("vertical centerline u:", np.round(center, 4))
 print("min u on centerline:", center.min())
+assert center[-1] > 0.8, center[-1]     # lid speed reaches the top row
+assert center.min() < -0.1, center.min()  # return-flow recirculation

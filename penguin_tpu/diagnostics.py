@@ -25,7 +25,8 @@ import time
 import numpy as np
 import jax
 
-__all__ = ["timed", "report", "reset", "trace", "log_every", "KrylovHistory"]
+__all__ = ["timed", "report", "reset", "trace", "log_every",
+           "KrylovHistory", "convergence_rates"]
 
 _REGISTRY: dict = {}
 
@@ -114,3 +115,23 @@ class KrylovHistory:
         bn = float(np.linalg.norm(np.asarray(ravel_pytree(b)[0])))
         self.residuals.append(rn / max(bn, 1e-300))
         return self.residuals[-1]
+
+
+def convergence_rates(residual_hist):
+    """Per-timestep log-reduction rate of an inner Newton/GN iteration.
+
+    ``residual_hist``: (n_steps, max_iter) with NaN past convergence (the
+    layout ``StefanMono2D.solve`` records).  Returns an (n_steps,) array:
+    the least-squares slope of log10(residual) per iteration (negative =
+    converging; ~ -1 means 10x reduction per iteration).  Steps that
+    converged within one iteration return 0.0.
+    """
+    H = np.asarray(residual_hist, float)
+    out = np.zeros(H.shape[0])
+    for k in range(H.shape[0]):
+        row = H[k]
+        row = row[np.isfinite(row) & (row > 0)]
+        if row.size >= 2:
+            x = np.arange(row.size)
+            out[k] = np.polyfit(x, np.log10(row), 1)[0]
+    return out

@@ -191,11 +191,23 @@ class StefanMono2D(_ScalarSolverBase):
               smooth_window=5, smooth_passes=1,
               extrapolation_factor=0.8, max_disp_cells=0.5,
               jac="autodiff",
-              p=4, s=1, jac_p=4, jac_s=1, band_budget="auto"):
+              p=4, s=1, jac_p=4, jac_s=1, band_budget="auto",
+              capture_residual_field=False):
         """``front``: FrontTracker (markers define the *solid/fluid*
         polygon; ``interior_fluid`` chooses which side is the simulated
         phase).  Returns final temperature; marker history in
         ``self.marker_log``.
+
+        Per-step telemetry (the moving-solver debugging surface the
+        reference dumps as PNGs, src/vizualize_mov.jl + stefan.jl:845-859):
+        ``self.residual_hist`` (n_steps, max_iter) — the GN residual of
+        EVERY inner iteration (NaN-padded past convergence; feed to
+        ``viz.plot_newton_rates`` / ``diagnostics.convergence_rates``);
+        ``self.residual_log``/``iters_log``/``krylov_iters`` per step;
+        ``capture_residual_field=True`` additionally records the final
+        per-cell energy-residual GRID of each step in
+        ``self.residual_fields`` (n_steps, *np_shape) for heatmap
+        inspection (``viz.plot_residual_fields``).
 
         ``jac``: ``"autodiff"`` differentiates the cut-cell volume
         quadrature exactly (jacfwd, one JVP per marker); ``"intercept"``
@@ -321,11 +333,11 @@ class StefanMono2D(_ScalarSolverBase):
             normals = polyline_normals(mk_a)
 
             def cond(st):
-                d, T, lam, prev_rn, rn, it, kit = st
+                d, T, Fg, hist, lam, prev_rn, rn, it, kit = st
                 return (it < max_iter) & (rn > tol)
 
             def body(st):
-                d, T, lam, prev_rn, rn_old, it, kit = st
+                d, T, Fg, hist, lam, prev_rn, rn_old, it, kit = st
                 # NOTE: deliberately NO warm start from the previous GN
                 # iterate T here — it makes the slab solution a function of
                 # the GN *path* instead of a deterministic function of d,
@@ -348,19 +360,27 @@ class StefanMono2D(_ScalarSolverBase):
                 d_new = smooth_displacements(d_new, smooth_window, smooth_passes)
                 d_new = jnp.clip(d_new, -max_disp, max_disp)
                 rn = jnp.linalg.norm(Fv)
+                hist = hist.at[it].set(rn)
+                Fg_new = F if capture_residual_field else Fg
                 lam_new = jnp.where(
                     rn < prev_rn,
                     jnp.maximum(lam / lm_lambda_factor, lm_min_lambda),
                     jnp.minimum(lam * lm_lambda_factor, lm_max_lambda),
                 )
                 lam_new = jnp.where(it == 0, lam, lam_new)
-                return (d_new, Tn, lam_new, rn, rn, it + 1, kit + klv_it)
+                return (d_new, Tn, Fg_new, hist, lam_new, rn, rn, it + 1,
+                        kit + klv_it)
 
-            init = (d0, Told, jnp.asarray(lm_init_lambda, d0.dtype),
+            hist0 = jnp.full((max_iter,), jnp.nan, d0.dtype)
+            Fg0 = (jnp.zeros(mesh.np_shape, d0.dtype)
+                   if capture_residual_field else jnp.zeros((), d0.dtype))
+            init = (d0, Told, Fg0, hist0,
+                    jnp.asarray(lm_init_lambda, d0.dtype),
                     jnp.asarray(jnp.inf, d0.dtype),
                     jnp.asarray(jnp.inf, d0.dtype), 0, 0)
-            d, T, lam, _, rn, it, kit = jax.lax.while_loop(cond, body, init)
-            return d, T, rn, it, kit
+            d, T, Fg, hist, lam, _, rn, it, kit = jax.lax.while_loop(
+                cond, body, init)
+            return d, T, Fg, hist, rn, it, kit
 
         @jax.jit
         def run(u0, markers0):
@@ -370,15 +390,15 @@ class StefanMono2D(_ScalarSolverBase):
                 T, mk, last_d = carry
                 t = t_start + k * dt
                 d0 = jnp.where(k > 0, extrapolation_factor * last_d, 0.0)
-                d, Tn, rn, it, kit = gn_step(T, mk, d0, t)
+                d, Tn, Fg, hist, rn, it, kit = gn_step(T, mk, d0, t)
                 normals = polyline_normals(mk)
                 mk_new = resample_markers(mk + d[:, None] * normals)
-                return (Tn, mk_new, d), (mk_new, rn, it, kit)
+                return (Tn, mk_new, d), (mk_new, rn, it, kit, hist, Fg)
 
-            (Tf, mkf, _), (mk_log, rns, its, kits) = jax.lax.scan(
+            (Tf, mkf, _), (mk_log, rns, its, kits, hists, Fgs) = jax.lax.scan(
                 step, (u0, markers0, d_zero), jnp.arange(K + 1.0)
             )
-            return Tf, mkf, mk_log, rns, its, kits
+            return Tf, mkf, mk_log, rns, its, kits, hists, Fgs
 
         # cache the traced/compiled loop across solve() calls: run is a
         # fresh closure each call, so without this every solve retraces
@@ -389,20 +409,25 @@ class StefanMono2D(_ScalarSolverBase):
                      lin_maxiter, enable_stencil_fusion, smooth_window,
                      smooth_passes, extrapolation_factor, max_disp_cells,
                      interior_fluid, lm_init_lambda, lm_lambda_factor,
-                     band_budget, _ic_key(ic), _cond_key(self.bc_i))
+                     band_budget, _ic_key(ic), _cond_key(self.bc_i),
+                     capture_residual_field)
         if getattr(self, "_run_cache_key", None) == cache_key:
             run = self._run_cache
         else:
             self._run_cache = run
             self._run_cache_key = cache_key
 
-        Tf, mkf, mk_log, rns, its, kits = run(self.u0, front.markers)
+        Tf, mkf, mk_log, rns, its, kits, hists, Fgs = run(self.u0,
+                                                          front.markers)
         self.x = Tf
         self.markers = mkf
         self.marker_log = np.asarray(mk_log)
         self.residual_log = np.asarray(rns)
         self.iters_log = np.asarray(its)
         self.krylov_iters = np.asarray(kits)  # total Krylov its per step
+        self.residual_hist = np.asarray(hists)  # (steps, max_iter), NaN-pad
+        self.residual_fields = (np.asarray(Fgs)
+                                if capture_residual_field else None)
         self.states = [Tf]
         front.markers = mkf
         return self.x

@@ -20,6 +20,8 @@ __all__ = [
     "plot_interface_evolution",
     "plot_residuals",
     "plot_timestep_history",
+    "plot_newton_rates",
+    "plot_residual_fields",
     "plot_isotherms",
     "interface_spectrum",
 ]
@@ -137,6 +139,59 @@ def plot_timestep_history(history, filename=None):
     ax.plot(h[:, 0], h[:, 1], "o-")
     ax.set_xlabel("t")
     ax.set_ylabel("dt")
+    if filename:
+        fig.savefig(filename, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return filename
+    return fig
+
+
+def plot_newton_rates(residual_hist, filename=None, max_steps=12):
+    """Per-timestep Newton/GN convergence curves with fitted rates — the
+    moving-solver debugging view of vizualize_mov.jl:1-633 (per-iteration
+    residual plots).  ``residual_hist``: (n_steps, max_iter), NaN past
+    convergence (``StefanMono2D.solve`` records it as
+    ``self.residual_hist``)."""
+    from .diagnostics import convergence_rates
+
+    plt = _mpl()
+    H = np.asarray(residual_hist)
+    rates = convergence_rates(H)
+    fig, (ax, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    sel = np.linspace(0, H.shape[0] - 1, min(max_steps, H.shape[0]),
+                      dtype=int)
+    for k in sel:
+        row = H[k][np.isfinite(H[k])]
+        if row.size:
+            ax.semilogy(np.arange(1, row.size + 1), row, "o-", alpha=0.7,
+                        label=f"step {k}")
+    ax.set_xlabel("inner iteration")
+    ax.set_ylabel("GN residual")
+    ax.legend(fontsize=7)
+    ax2.plot(rates, "s-")
+    ax2.set_xlabel("time step")
+    ax2.set_ylabel("fitted log-reduction rate / iter")
+    if filename:
+        fig.savefig(filename, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return filename
+    return fig
+
+
+def plot_residual_fields(fields, filename=None, n_show=4):
+    """Heatmaps of the per-cell energy residual grid at selected steps
+    (``StefanMono2D.solve(capture_residual_field=True)`` →
+    ``self.residual_fields``) — the reference's per-iteration residual
+    PNG dumps (stefan.jl:845-859)."""
+    plt = _mpl()
+    F = np.asarray(fields)
+    sel = np.linspace(0, F.shape[0] - 1, min(n_show, F.shape[0]), dtype=int)
+    fig, axes = plt.subplots(1, len(sel), figsize=(4 * len(sel), 3.6))
+    axes = np.atleast_1d(axes)
+    for ax, k in zip(axes, sel):
+        m = ax.imshow(np.abs(F[k]).T, origin="lower", cmap="magma")
+        ax.set_title(f"|residual| step {k}")
+        fig.colorbar(m, ax=ax, shrink=0.8)
     if filename:
         fig.savefig(filename, dpi=120, bbox_inches="tight")
         plt.close(fig)

@@ -133,3 +133,60 @@ def test_preconditioner_hook_improves_fixed_budget_residual():
                           M=lambda v: v / d).solve(b)
     assert res(x_prec) < 1e-6
     assert res(x_prec) < 1e-3 * res(x_plain)
+
+
+def test_stefan_newton_telemetry_and_plots(tmp_path):
+    """StefanMono2D records per-iteration GN residual curves and (opt-in)
+    residual grids; the analytics surface consumes them (task: moving-
+    solver debugging parity with the reference's vizualize_mov.jl)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu import viz
+    from penguin_tpu.diagnostics import convergence_rates
+    from penguin_tpu.front_tracking import FrontTracker
+    from penguin_tpu.solvers.stefan2d import StefanMono2D
+    from scipy.special import exp1
+
+    S = 1.0
+    St = (S ** 2 / 4) * np.exp(S ** 2 / 4) * exp1(S ** 2 / 4)
+    T_inf = -St
+    L, center = 8.0, (4.0, 4.0)
+    mesh = pt.Mesh((24, 24), (L, L), (0.0, 0.0))
+    front = FrontTracker().create_circle(center, 1.0, n=24)
+    cap0 = pt.compute_capacity(lambda x, y: -front.sdf(x, y), mesh,
+                               p=4, s=1)
+    C = np.asarray(cap0.C_om)
+    r = np.sqrt((C[..., 0] - center[0]) ** 2 + (C[..., 1] - center[1]) ** 2)
+    Tw0 = jnp.asarray(np.where(r > 1.0, T_inf, 0.0))
+    bc_b = pt.BorderConditions({k: pt.Dirichlet(float(T_inf))
+                                for k in ("left", "right", "top",
+                                          "bottom")})
+    phase = pt.Phase(cap0, pt.make_diffusion_ops(cap0),
+                     lambda x, y, z, t: 0.0, 1.0)
+    ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
+                                pt.FluxJump(1.0, 1.0, 1.0))
+    solver = StefanMono2D(phase, bc_b, pt.Dirichlet(0.0), 0.02,
+                          (Tw0, jnp.zeros(mesh.np_shape)), mesh, "BE")
+    solver.solve(front, 0.0, 0.05, ic, newton_params=(6, 1e-5, 1e-6, 1.0),
+                 interior_fluid=False, method="bicgstab", p=4, s=1,
+                 jac="intercept", capture_residual_field=True)
+
+    H = solver.residual_hist
+    assert H.ndim == 2 and H.shape[1] == 6
+    # at least one recorded residual per step, decreasing within steps
+    first = H[:, 0]
+    assert np.isfinite(first).all() and (first > 0).all()
+    rates = convergence_rates(H)
+    assert rates.shape == (H.shape[0],)
+    assert (rates <= 0.0).any()  # somewhere it actually converged
+
+    F = solver.residual_fields
+    assert F is not None and F.shape[0] == H.shape[0]
+    assert np.isfinite(F).all()
+
+    p1 = viz.plot_newton_rates(H, filename=str(tmp_path / "rates.png"))
+    p2 = viz.plot_residual_fields(F, filename=str(tmp_path / "fields.png"))
+    import os
+    assert os.path.exists(p1) and os.path.exists(p2)
