@@ -15,12 +15,12 @@ Cl_max in [0.99, 1.01], St in [0.295, 0.305]; the reference script gates
 Cd in [3.1, 3.6], |Cl_mean| < 0.08, St in [0.29, 0.32] at 128x64.
 
 Measured (TPU v5e, f32, round 4, 256x128 implicit-Picard CN + fgmres/
-DCT-Schur, 4000 steps in ~280 s wall = 70 ms/step, relres <= 6e-5):
-Cd_mean 3.3883, Cl_mean -0.039, Cl_amp 1.2395, St 0.2999, dP_mean 2.4966
-— St dead-center in the published window and dP within 0.7% of the
-published ~2.48.  (The round-3 coarse-only record St 0.325 sat OUTSIDE
-the reference window; the 128x64 AB2 path reproduces that and keeps the
-coarser gates.)
+DCT-Schur, 4000 steps in ~265 s wall = 66 ms/step; exact wall geometry
+via the -h/2 origin shift + ghost wall rows + DOF-centroid BC sampling):
+Cd_mean 3.3011, Cl_mean -0.0275, Cl_amp 1.1574, St 0.2999,
+dP_mean 2.4840 — St dead-center in the published window, dP within 0.2%,
+Cd within 2.2%.  (The round-3 coarse-only record St 0.325 sat OUTSIDE
+the reference window; the 128x64 AB2 path keeps the coarser gates.)
 
 Run:  python benchmarks/dfg_cylinder_shedding.py           (256 x 128)
       python benchmarks/dfg_cylinder_shedding.py --coarse  (128 x 64)
@@ -48,9 +48,15 @@ rho, nu = 1.0, 1e-3
 dt, T_end, t_stats = 0.002, 8.0, 4.0
 
 dx = Lx / nx
-mesh_p = pt.Mesh((nx, ny), (Lx, Ly), (0.0, 0.0))
-mesh_ux = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, 0.0))
-mesh_uy = pt.Mesh((nx, ny), (Lx, Ly), (0.0, -0.5 * (Ly / ny)))
+dy = Ly / ny
+# mesh convention: integration cells span [x0 + h/2, x0 + L + h/2]
+# (mesh.py), so shift the origin half a cell to put the channel walls
+# exactly at y = 0 and y = Ly (ghost wall rows impose no-slip THERE) —
+# otherwise the walls sit h/2 high and the midline misses the cylinder
+# offset that seeds the DFG asymmetry
+mesh_p = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, -0.5 * dy))
+mesh_ux = pt.Mesh((nx, ny), (Lx, Ly), (-dx, -0.5 * dy))
+mesh_uy = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, -dy))
 body = pt.geometry.complement(pt.geometry.circle((cx, cy), R))  # fluid outside
 caps = [pt.compute_capacity(body, m, p=4, s=1, dtype=jnp.float32)
         for m in (mesh_ux, mesh_uy, mesh_p)]
@@ -88,7 +94,7 @@ bc_ux = pt.BorderConditions({"left": pt.Dirichlet(inflow),
 bc_uy = pt.BorderConditions({"left": noslip, "right": noslip,
                              "bottom": noslip, "top": noslip})
 solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
-                          pt.Dirichlet(0.0))
+                          pt.Dirichlet(0.0), wall_row="ghost")
 
 # pressure probes: nearest pressure-cell centroids to the DFG points
 # A = (0.15, 0.2) (front) and B = (0.25, 0.2) (back)
@@ -189,9 +195,9 @@ if not coarse:
     # PUBLISHED band (measured 0.2999), plus dP and Cl_amp gates the
     # reference lacks (measured 2.4966 / 1.2395)
     assert shedding
-    assert 3.1 < Cd_mean < 3.6, Cd_mean
+    assert 3.15 < Cd_mean < 3.45, Cd_mean
     assert abs(Cl_mean) < 0.08, Cl_mean
     assert 0.29 < St < 0.31, St
-    assert abs(dP_mean - 2.48) < 0.1, dP_mean
-    assert 0.9 < Cl_amp < 1.4, Cl_amp
+    assert abs(dP_mean - 2.48) < 0.06, dP_mean
+    assert 0.95 < Cl_amp < 1.30, Cl_amp
 print("OK")

@@ -10,20 +10,20 @@ Published ranges: Cd in [5.5700, 5.5900], Cl in [0.0104, 0.0110],
 dP in [0.1172, 0.1176].
 
 Measured (TPU v5e, f32, round 4 — fgmres/DCT-Schur JFNK converged to the
-f32 floor; forces by BOTH the rim traction integral and the
-control-volume momentum-deficit integral, which agree to ~1%):
+f32 floor; EXACT wall geometry via the -h/2 origin shift + ghost wall
+rows + DOF-centroid BC sampling; forces by BOTH the rim traction
+integral and the control-volume momentum-deficit integral, ~1% apart):
 
-- 256x128 (R/dx ~ 5.8, ~30-90 s):  Cd 6.19 (+10.9%), Cl +0.037 (sign
-  correct), dP 0.1231 (+4.9%)
-- 512x256 (R/dx ~ 11.6, ~250 s):   Cd 5.727 (+2.6%), Cl +0.0131 (+20%),
-  dP 0.1204 (+2.6%)
+- 256x128 (R/dx ~ 5.8):  Cd 5.7935 (+3.8%), Cl +0.0153, dP 0.1203 (+2.5%)
+- 512x256 (`--fine`):    Cd 5.6524 (+1.3%), Cl +0.0087, dP 0.1159 (-1.3%)
 
-The 256->512 error ratio is ~4 on Cd/dP (second order).  NOTE the round-3
-record (Cd 5.4685/-2.0%, dP -8.3%) came from a JFNK run that silently
-STALLED at |R| ~ 2e-2 (the Chebyshev-Schur preconditioner's
-power-iteration bounds are f32-fragile on this geometry and the stall is
-host-dependent); the converged state has Cd/dP HIGH at 256x128 and the
--2% figure was an artifact.  Gates below encode the converged values.
+Two honesty notes: (a) the round-3 record (Cd 5.4685/-2.0%, dP -8.3%)
+came from a JFNK run that silently STALLED at |R| ~ 2e-2 (the
+Chebyshev-Schur preconditioner's power-iteration bounds are f32-fragile
+here; fgmres/DCT-Schur converges every run); (b) before the geometry fix
+the channel walls sat h/2 high (mesh convention) and the inflow profile
+was sampled half a cell off the DOF centroids — at 256x128 that was
+worth +7% on Cd (6.19 -> 5.79).
 
 Run (TPU):  python benchmarks/dfg_cylinder_steady.py [--coarse|--fine]
 """
@@ -50,9 +50,15 @@ Umax, Ubar = 0.3, 0.2
 rho, nu = 1.0, 1e-3
 
 dx = Lx / nx
-mesh_p = pt.Mesh((nx, ny), (Lx, Ly), (0.0, 0.0))
-mesh_ux = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, 0.0))
-mesh_uy = pt.Mesh((nx, ny), (Lx, Ly), (0.0, -0.5 * (Ly / ny)))
+dy = Ly / ny
+# mesh convention: integration cells span [x0 + h/2, x0 + L + h/2]
+# (mesh.py), so shift the origin half a cell to put the channel walls
+# exactly at y = 0 and y = Ly (ghost wall rows impose no-slip THERE) —
+# otherwise the walls sit h/2 high and the midline misses the cylinder
+# offset that seeds the DFG asymmetry
+mesh_p = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, -0.5 * dy))
+mesh_ux = pt.Mesh((nx, ny), (Lx, Ly), (-dx, -0.5 * dy))
+mesh_uy = pt.Mesh((nx, ny), (Lx, Ly), (-0.5 * dx, -dy))
 body = pt.geometry.complement(pt.geometry.circle((cx, cy), R))
 # moment-consistent cut flux by default (--centroid reverts)
 moment = "--centroid" not in _sys.argv
@@ -81,7 +87,7 @@ bc_ux = pt.BorderConditions({"left": pt.Dirichlet(inflow),
 bc_uy = pt.BorderConditions({"left": noslip, "right": noslip,
                              "bottom": noslip, "top": noslip})
 solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
-                          pt.Dirichlet(0.0),
+                          pt.Dirichlet(0.0), wall_row="ghost",
                           cut_flux="moment" if moment else "centroid")
 
 t0 = time.time()
@@ -120,10 +126,10 @@ print(f"dP = {dP:.4f}   (DFG 2D-1: 0.1172-0.1176)")
 assert np.isfinite([Cd, Cl, dP]).all()
 if fine:
     assert abs(Cd - 5.58) < 0.20, Cd          # 3.5%
-    assert 0.008 < Cl < 0.017, Cl             # sign + order correct
+    assert 0.008 < Cl < 0.020, Cl             # sign + order correct
     assert abs(dP - 0.1174) < 0.005, dP       # 4%
 elif not coarse:
-    assert abs(Cd - 5.58) < 0.70, Cd          # 12.5% (measured +10.9%)
-    assert 0.0 < Cl < 0.06, Cl                # sign correct
-    assert abs(dP - 0.1174) < 0.0059, dP      # 5% (measured +4.9%)
+    assert abs(Cd - 5.58) < 0.30, Cd          # 5.4% (measured +3.8%)
+    assert 0.005 < Cl < 0.030, Cl             # sign + order correct
+    assert abs(dP - 0.1174) < 0.0047, dP      # 4% (measured +2.5%)
 print("OK")

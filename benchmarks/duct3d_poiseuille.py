@@ -1,0 +1,165 @@
+"""3D Navier-Stokes rectangular-duct validation with the exact Fourier
+series — the quantitative 3D NS benchmark the reference lacks (its only
+3D NS artifact is the 16x16x12 smoke example,
+/root/reference/examples/3D/NavierStokes/channel_flow_3d.jl:1-70).
+
+Laminar flow in a rectangular duct (cross-section [-a,a] x [-b,b],
+pressure gradient G along x) has the classical series solution
+
+  u(y,z) = (16 G a^2 / (mu pi^3)) * sum_{k odd} (-1)^{(k-1)/2} / k^3
+           * [1 - cosh(k pi z / 2a) / cosh(k pi b / 2a)]
+           * cos(k pi y / 2a)
+
+Setup: the series profile is prescribed at the inlet, Outflow at the
+outlet, ghost-row no-slip side walls (O(h^2) wall placement), steady
+Newton-Krylov on the FULL Navier-Stokes operator (convection is zero on
+the exact solution but every convection stencil is exercised).  The
+mid-duct cross-section is compared to the series under cross-section
+refinement; the fitted order is gated at ~2.
+
+Run:  python benchmarks/duct3d_poiseuille.py           (CPU f64 study)
+      python benchmarks/duct3d_poiseuille.py --tpu     (adds a TPU f32
+                                                        ms/step row at
+                                                        48x48x32 CN)
+"""
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+tpu_row = "--tpu" in _sys.argv
+if not tpu_row:
+    from benchmarks.phaseflow.harness import ensure_cpu_f64
+    ensure_cpu_f64()
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import penguin_tpu as pt
+from penguin_tpu.solvers.navierstokes import NavierStokesMono
+from penguin_tpu.solvers.stokes import PinPressureGauge
+
+a, b = 0.5, 0.3      # half-widths (y, z)
+mu, rho = 0.1, 1.0
+G = 1.0              # driving gradient used in the exact profile
+
+
+def u_exact(y, z, nterms=60):
+    out = 0.0
+    for k in range(1, 2 * nterms, 2):
+        sgn = (-1.0) ** ((k - 1) // 2)
+        out = out + (sgn / k ** 3
+                     * (1.0 - np.cosh(k * np.pi * z / (2 * a))
+                        / np.cosh(k * np.pi * b / (2 * a)))
+                     * np.cos(k * np.pi * y / (2 * a)))
+    return 16.0 * G * a ** 2 / (mu * np.pi ** 3) * out
+
+
+def solve(n, nx=6, dtype=None):
+    Lx = 1.0
+    Ny, Nz = n, max(int(round(n * b / a)), 4)
+    Ly, Lz = 2 * a, 2 * b
+    dxyz = (Lx / nx, Ly / Ny, Lz / Nz)
+    # mesh convention: integration cells span [x0 + h/2, x0 + L + h/2]
+    # (mesh.py), so shift the origin a half cell to put the ghost-row
+    # walls exactly at y = ±a, z = ±b
+    x0 = (0.0, -a - 0.5 * dxyz[1], -b - 0.5 * dxyz[2])
+    mesh_p = pt.Mesh((nx, Ny, Nz), (Lx, Ly, Lz), x0)
+    meshes_u = [pt.Mesh((nx, Ny, Nz), (Lx, Ly, Lz),
+                        tuple(x0[i] - (0.5 * dxyz[i] if i == ax else 0.0)
+                              for i in range(3)))
+                for ax in range(3)]
+    body = pt.geometry.full_domain(3)
+    kw = dict(p=4, s=1) if dtype is None else dict(p=4, s=1, dtype=dtype)
+    caps_u = [pt.compute_capacity(body, m, **kw) for m in meshes_u]
+    cap_p = pt.compute_capacity(body, mesh_p, **kw)
+    fluid = pt.Fluid(
+        mesh_u=tuple(meshes_u), mesh_p=mesh_p,
+        capacity_u=tuple(caps_u),
+        operator_u=tuple(pt.make_diffusion_ops(c) for c in caps_u),
+        capacity_p=cap_p, operator_p=pt.make_diffusion_ops(cap_p),
+        mu=mu, rho=rho,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0)
+
+    def inflow(x, y, z, t=None):
+        return jnp.asarray(u_exact(np.asarray(y), np.asarray(z)))
+
+    # the inlet profile is evaluated on static arrays at setup
+    noslip = pt.Dirichlet(0.0)
+    bc_ux = pt.BorderConditions(
+        {"left": pt.Dirichlet(lambda x, y, z, t=None: u_exact_j(y, z)),
+         "right": pt.Outflow(),
+         "bottom": noslip, "top": noslip,
+         "backward": noslip, "forward": noslip})
+    bc_0 = pt.BorderConditions(
+        {k: noslip for k in ("left", "right", "bottom", "top",
+                             "backward", "forward")})
+    solver = NavierStokesMono(fluid, (bc_ux, bc_0, bc_0),
+                              PinPressureGauge(), pt.Dirichlet(0.0),
+                              wall_row="ghost")
+    solver.solve_steady_newton_krylov(max_iter=12, tol=1e-11,
+                                     lin_maxiter=400)
+    ux = np.asarray(solver.velocity(0))
+    C = np.asarray(caps_u[0].C_om)
+    i_mid = nx // 2
+    y = C[i_mid, :Ny, :Nz, 1]
+    z = C[i_mid, :Ny, :Nz, 2]
+    ue = u_exact(y, z)
+    err = np.abs(ux[i_mid, :Ny, :Nz] - ue)
+    return float(err.max()), float(np.abs(ue).max()), solver
+
+
+def u_exact_j(y, z):
+    # jnp-compatible series (traced under jit for the BC evaluation)
+    out = 0.0
+    for k in range(1, 80, 2):
+        sgn = (-1.0) ** ((k - 1) // 2)
+        out = out + (sgn / k ** 3
+                     * (1.0 - jnp.cosh(k * jnp.pi * z / (2 * a))
+                        / jnp.cosh(k * jnp.pi * b / (2 * a)))
+                     * jnp.cos(k * jnp.pi * y / (2 * a)))
+    return 16.0 * G * a ** 2 / (mu * jnp.pi ** 3) * out
+
+
+def _study():
+    errs, hs = [], []
+    for n in (8, 12, 16, 24):
+        t0 = time.time()
+        e, scale, _ = solve(n)
+        errs.append(e / scale)
+        hs.append(2 * a / n)
+        print(f"n={n:3d}: max rel err {e / scale:.5f}  [{time.time()-t0:.1f} s]")
+    order = np.polyfit(np.log(hs), np.log(errs), 1)[0]
+    print(f"fitted order: {order:.2f}")
+    assert errs[-1] < 0.02, errs
+    assert order > 1.5, order
+    print("OK")
+
+
+def _tpu_row():
+    # TPU timing row: 48x48x32-class duct, CN implicit steps (fgmres/DCT)
+    import jax
+
+    t0 = time.time()
+    e, scale, solver = solve(48, nx=8, dtype=jnp.float32)
+    print(f"TPU f32 steady 8x48x{max(int(round(48*b/a)),4)}: rel err "
+          f"{e/scale:.4f}, {time.time()-t0:.1f} s wall")
+    dt = 2e-3
+    t0 = time.time()
+    solver.solve_unsteady(dt, 20 * dt, scheme="CN", method="fgmres",
+                          tol=1e-5, maxiter=60, x0=solver.x)
+    jax.block_until_ready(solver.x)
+    t_warm = time.time()
+    solver.solve_unsteady(dt, 20 * dt, scheme="CN", method="fgmres",
+                          tol=1e-5, maxiter=60, x0=solver.x,
+                          t_start=20 * dt)
+    jax.block_until_ready(solver.x)
+    ms = (time.time() - t_warm) / 20 * 1e3
+    print(f"TPU f32 unsteady CN: {ms:.1f} ms/step (warm, 20-step chunk)")
+    assert np.isfinite(ms)
+    print("OK")
+
+
+if __name__ == "__main__":
+    _tpu_row() if tpu_row else _study()

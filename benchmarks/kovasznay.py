@@ -48,8 +48,10 @@ def kovasznay_error(n, Re=40.0):
     solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
                               pt.Dirichlet(0.0))
     solver.solve_steady_newton(max_iter=12, tol=1e-10, picard_warmup=3)
-    X, Y = np.meshgrid(np.asarray(mesh_ux.nodes[0]),
-                       np.asarray(mesh_ux.nodes[1]), indexing="ij")
+    hx, hy = mesh_ux.h  # DOF positions = cell centroids (nodes + h/2)
+    X, Y = np.meshgrid(np.asarray(mesh_ux.nodes[0]) + 0.5 * hx,
+                       np.asarray(mesh_ux.nodes[1]) + 0.5 * hy,
+                       indexing="ij")
     uex = np.asarray(ue(jnp.asarray(X), jnp.asarray(Y)))
     uxs = np.asarray(solver.velocity(0))
     err = uxs[1:n, 1:n] - uex[1:n, 1:n]

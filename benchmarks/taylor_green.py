@@ -45,10 +45,13 @@ def tg_error(n, dt=1e-3, t_end=0.1, nu=1.0):
         for k in ("left", "right", "bottom", "top")})
     solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
                               pt.Dirichlet(0.0))
-    Xux, Yux = np.meshgrid(np.asarray(mesh_ux.nodes[0]),
-                           np.asarray(mesh_ux.nodes[1]), indexing="ij")
-    Xuy, Yuy = np.meshgrid(np.asarray(mesh_uy.nodes[0]),
-                           np.asarray(mesh_uy.nodes[1]), indexing="ij")
+    hx, hy = mesh_ux.h  # DOF positions = cell centroids (nodes + h/2)
+    Xux, Yux = np.meshgrid(np.asarray(mesh_ux.nodes[0]) + 0.5 * hx,
+                           np.asarray(mesh_ux.nodes[1]) + 0.5 * hy,
+                           indexing="ij")
+    Xuy, Yuy = np.meshgrid(np.asarray(mesh_uy.nodes[0]) + 0.5 * hx,
+                           np.asarray(mesh_uy.nodes[1]) + 0.5 * hy,
+                           indexing="ij")
     x0 = (jnp.asarray(ue(Xux, Yux, 0.0)), jnp.asarray(ue(Xux, Yux, 0.0)),
           jnp.asarray(ve(Xuy, Yuy, 0.0)), jnp.asarray(ve(Xuy, Yuy, 0.0)),
           jnp.zeros(fluid.capacity_p.V.shape))

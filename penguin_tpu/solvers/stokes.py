@@ -86,13 +86,19 @@ class VelocityBorder:
         N = mesh_comp.ndim
         shape = mesh_comp.np_shape
         keymap = _AXIS_KEYS_1D if N == 1 else _AXIS_KEYS
-        # node-position arrays over the full padded grid
+        # DOF-position arrays over the full padded grid: border rows must
+        # evaluate their Dirichlet data AT the DOF (cell-centroid)
+        # positions, nodes[d] + h/2.  Evaluating at the nodes (pre-round-4
+        # behaviour) offset every non-constant profile by half a cell
+        # along every axis — measured as a one-index shift of the inlet
+        # tensor-parabola on the 3D duct and an O(h) inflow bias on the
+        # DFG channel.
         pos = []
         for d in range(N):
-            # nodes has length n+1; pad to the (possibly larger) DOF shape
             c = np.zeros(shape[d])
             nd = mesh_comp.n[d] + 1
-            c[:nd] = np.asarray(mesh_comp.nodes[d])
+            c[:nd] = np.asarray(mesh_comp.nodes[d]) + 0.5 * mesh_comp.h[d]
+            c[nd:] = c[nd - 1]
             shp = [1] * N
             shp[d] = shape[d]
             pos.append(jnp.asarray(np.broadcast_to(c.reshape(shp), shape)))

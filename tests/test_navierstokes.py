@@ -56,11 +56,18 @@ def _tg_error(n, dt=2e-3, t_end=0.05, nu=1.0):
     solver = NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
                               pt.Dirichlet(0.0))
 
-    # initial condition sampled at the velocity DOF node positions
-    Xux, Yux = np.meshgrid(np.asarray(mesh_ux.nodes[0]),
-                           np.asarray(mesh_ux.nodes[1]), indexing="ij")
-    Xuy, Yuy = np.meshgrid(np.asarray(mesh_uy.nodes[0]),
-                           np.asarray(mesh_uy.nodes[1]), indexing="ij")
+    # initial condition sampled at the velocity DOF positions (cell
+    # centroids, nodes + h/2 — the convention the border rows evaluate
+    # their Dirichlet data at; a uniform node/centroid mismatch used to
+    # cancel here because a shifted Taylor-Green field is still an exact
+    # solution, but it no longer matches the solver's BC sampling)
+    hx, hy = mesh_ux.h
+    Xux, Yux = np.meshgrid(np.asarray(mesh_ux.nodes[0]) + 0.5 * hx,
+                           np.asarray(mesh_ux.nodes[1]) + 0.5 * hy,
+                           indexing="ij")
+    Xuy, Yuy = np.meshgrid(np.asarray(mesh_uy.nodes[0]) + 0.5 * hx,
+                           np.asarray(mesh_uy.nodes[1]) + 0.5 * hy,
+                           indexing="ij")
     uw0 = jnp.asarray(ue(Xux, Yux, 0.0))
     vw0 = jnp.asarray(ve(Xuy, Yuy, 0.0))
     x0 = (uw0, uw0, vw0, vw0, jnp.zeros(fluid.capacity_p.V.shape))

@@ -52,8 +52,12 @@ def test_jfnk_kovasznay_converges():
     # superlinear: at least one contraction by 10x between consecutive iters
     ratios = [hist[k + 1] / hist[k] for k in range(min(4, len(hist) - 1))]
     assert min(ratios) < 0.15, hist
-    X, Y = np.meshgrid(np.asarray(mesh_ux.nodes[0]),
-                       np.asarray(mesh_ux.nodes[1]), indexing="ij")
+    # DOF positions are cell centroids (nodes + h/2) — the border rows
+    # evaluate their Dirichlet data there since round 4
+    hx, hy = mesh_ux.h
+    X, Y = np.meshgrid(np.asarray(mesh_ux.nodes[0]) + 0.5 * hx,
+                       np.asarray(mesh_ux.nodes[1]) + 0.5 * hy,
+                       indexing="ij")
     uex = np.asarray(ue(jnp.asarray(X), jnp.asarray(Y)))
     err = np.asarray(solver.velocity(0))[1:n, 1:n] - uex[1:n, 1:n]
     V = np.asarray(caps[0].V)[1:n, 1:n]
