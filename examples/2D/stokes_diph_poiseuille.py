@@ -33,10 +33,13 @@ u2_exact = lambda y: (-(y**2) / 2 + A * y + C) / mu2
 
 
 def phase_fluid(body, mu):
-    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
     d = L / n
-    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
-    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -0.5 * d))
+    # shift origins -d/2 so the cell boxes span [0, L] and the ghost wall
+    # rows impose no-slip exactly at y = 0 and y = L, where the analytic
+    # two-layer profile vanishes (mesh.py box convention)
+    mesh_p = pt.Mesh((n, n), (L, L), (-0.5 * d, -0.5 * d))
+    mesh_ux = pt.Mesh((n, n), (L, L), (-d, -0.5 * d))
+    mesh_uy = pt.Mesh((n, n), (L, L), (-0.5 * d, -d))
     caps = [pt.compute_capacity(body, m, p=6, s=1)
             for m in (mesh_ux, mesh_uy, mesh_p)]
     return pt.Fluid(
@@ -60,7 +63,7 @@ bc_b = (pt.BorderConditions({"left": in2, "right": in2, "top": noslip}),
         pt.BorderConditions({"left": noslip, "right": noslip, "top": noslip}))
 ic = pt.InterfaceConditions(pt.ScalarJump(1.0, 1.0, 0.0),
                             pt.FluxJump(1.0, 1.0, 0.0))
-solver = StokesDiph(fa, fb, bc_a, bc_b, ic)
+solver = StokesDiph(fa, fb, bc_a, bc_b, ic, wall_row="ghost")
 solver.solve(method="lstsq")
 
 ux1 = np.asarray(solver.velocity(0, 0))

@@ -34,11 +34,12 @@ __all__ = ["StokesDiph"]
 
 class StokesDiph:
     def __init__(self, fluid_a, fluid_b, bc_u_a, bc_u_b, interface,
-                 pressure_gauge_a=None, pressure_gauge_b=None):
+                 pressure_gauge_a=None, pressure_gauge_b=None,
+                 wall_row="center"):
         self.a = StokesMono(fluid_a, bc_u_a, pressure_gauge_a or PinPressureGauge(),
-                            Dirichlet(0.0))
+                            Dirichlet(0.0), wall_row=wall_row)
         self.b_ = StokesMono(fluid_b, bc_u_b, pressure_gauge_b or PinPressureGauge(),
-                             Dirichlet(0.0))
+                             Dirichlet(0.0), wall_row=wall_row)
         self.interface = interface
         self.N = fluid_a.ndim
 
