@@ -15,10 +15,11 @@ Cl_max in [0.99, 1.01], St in [0.295, 0.305]; the reference script gates
 Cd in [3.1, 3.6], |Cl_mean| < 0.08, St in [0.29, 0.32] at 128x64.
 
 Measured (TPU v5e, f32, round 4, 256x128 implicit-Picard CN + fgmres/
-DCT-Schur, 4000 steps in ~265 s wall = 66 ms/step; exact wall geometry
-via the -h/2 origin shift + ghost wall rows + DOF-centroid BC sampling):
-Cd_mean 3.3011, Cl_mean -0.0275, Cl_amp 1.1574, St 0.2999,
-dP_mean 2.4840 — St dead-center in the published window, dP within 0.2%,
+DCT-Schur with early-exit Arnoldi cycles, 4000 steps in **94 s wall =
+24 ms/step**, fgmres ~8 it/step; exact wall geometry via the -h/2 origin
+shift + ghost wall rows + DOF-centroid BC sampling):
+Cd_mean 3.3019, Cl_mean -0.0277, Cl_amp 1.1559, St 0.2999,
+dP_mean 2.4845 — St dead-center in the published window, dP within 0.2%,
 Cd within 2.2%.  (The round-3 coarse-only record St 0.325 sat OUTSIDE
 the reference window; the 128x64 AB2 path keeps the coarser gates.)
 

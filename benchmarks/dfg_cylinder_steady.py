@@ -14,8 +14,12 @@ f32 floor; EXACT wall geometry via the -h/2 origin shift + ghost wall
 rows + DOF-centroid BC sampling; forces by BOTH the rim traction
 integral and the control-volume momentum-deficit integral, ~1% apart):
 
-- 256x128 (R/dx ~ 5.8):  Cd 5.7935 (+3.8%), Cl +0.0153, dP 0.1203 (+2.5%)
-- 512x256 (`--fine`):    Cd 5.6524 (+1.3%), Cl +0.0087, dP 0.1159 (-1.3%)
+- 256x128 (R/dx ~ 5.8):  **Cd 5.5810 — INSIDE the published band**,
+  Cl +0.01033 (0.7% under the band edge), dP 0.1161 (-1.1%); JFNK digs
+  to |R| ~ 2e-8 (the round-4a fixed-depth fgmres cycles returned noisy
+  directions that stalled Newton at |R| ~ 2e-4 and Cd 5.79; the
+  early-exit Arnoldi cycle fixed it)
+- 512x256 (`--fine`):    Cd 5.6525 (+1.3%), Cl +0.01171, dP 0.1159
 
 Two honesty notes: (a) the round-3 record (Cd 5.4685/-2.0%, dP -8.3%)
 came from a JFNK run that silently STALLED at |R| ~ 2e-2 (the
@@ -125,11 +129,11 @@ print(f"Cl = {Cl:+.5f}  (DFG 2D-1: 0.0104-0.0110)")
 print(f"dP = {dP:.4f}   (DFG 2D-1: 0.1172-0.1176)")
 assert np.isfinite([Cd, Cl, dP]).all()
 if fine:
-    assert abs(Cd - 5.58) < 0.20, Cd          # 3.5%
-    assert 0.008 < Cl < 0.020, Cl             # sign + order correct
-    assert abs(dP - 0.1174) < 0.005, dP       # 4%
+    assert abs(Cd - 5.58) < 0.10, Cd          # 1.8%
+    assert 0.008 < Cl < 0.014, Cl
+    assert abs(dP - 0.1174) < 0.003, dP       # 2.5%
 elif not coarse:
-    assert abs(Cd - 5.58) < 0.30, Cd          # 5.4% (measured +3.8%)
-    assert 0.005 < Cl < 0.030, Cl             # sign + order correct
-    assert abs(dP - 0.1174) < 0.0047, dP      # 4% (measured +2.5%)
+    assert abs(Cd - 5.58) < 0.06, Cd          # 1% (measured 5.5810)
+    assert 0.008 < Cl < 0.014, Cl             # measured +0.01033
+    assert abs(dP - 0.1174) < 0.003, dP       # 2.5% (measured -1.1%)
 print("OK")

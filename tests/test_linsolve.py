@@ -74,7 +74,10 @@ def test_pgmres_pytree_and_restart():
     got = np.concatenate([np.asarray(x[0]), np.asarray(x[1]["z"])])
     assert float(res) < 1e-10
     assert np.abs(got - np.asarray(xt)).max() < 1e-7
-    assert int(it) % 25 == 0  # telemetry counts whole cycles
+    # telemetry counts ACTUAL Arnoldi iterations: the early-exit cycle
+    # (round 4) stops at the Givens residual instead of running whole
+    # restart blocks, so the count is exact and <= maxiter
+    assert 0 < int(it) <= 25
 
 
 def test_row_equilibrated_pgmres_beats_raw_scaling():
