@@ -9,13 +9,17 @@ for moderate dt) until the flow is statistically steady.
 
 Run (TPU recommended):  python benchmarks/lid_cavity_ghia_re1000.py [n] [t_end]
 
-Recorded results (TPU v5e, f32, steady JFNK with block-Schur GMRES(100)
-over jvp + ghost wall rows; errors at Ghia's tabulated points, the
-standard comparison):
-- 128²: 24 s wall;  max|u-ghia| = 0.0529, max|v-ghia| = 0.0544,
-  min u = -0.359 (Ghia -0.38289)
-- 256²: 80 s wall;  max|u-ghia| = 0.0145, max|v-ghia| = 0.0046,
-  min u = -0.3790, max v = +0.3670 (Ghia -0.38289 / +0.37095)
+Recorded results (TPU v5e, f32, steady JFNK over jvp with the robust
+fgmres/DCT-Schur inner solves + ghost wall rows; errors at Ghia's
+tabulated points, the standard comparison; wall times are WARM-cache —
+cold compile adds minutes, docs/BENCHMARKS.md "Cold-start honesty"):
+- 128²: ~53 s wall;  max|u-ghia| = 0.0533, max|v-ghia| = 0.0591,
+  min u = -0.356 (Ghia -0.38289)
+- 256²: ~2-3 min wall;  max|u-ghia| = 0.0144, max|v-ghia| = 0.0065,
+  min u = -0.3779, max v = +0.3655 (Ghia -0.38289 / +0.37095)
+  (round-3 Chebyshev-path record 0.0145/0.0046-0.0074 — f32 run-to-run
+  drift; the Chebyshev inner solver is faster when it works but stalls
+  host-dependently, so the robust path is the default)
 The 128² -> 256² error drop (x3.7 in u, x12 in v) demonstrates mesh
 convergence to the Ghia profile well inside the 0.02 target; the 128²
 residue is wall/cut discretization, not solver error.  (Round 1 needed
