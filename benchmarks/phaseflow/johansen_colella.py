@@ -114,7 +114,13 @@ def run_problem3(sizes=(32, 64, 128), verbose=True):
         inside = vals[ct != 0]
         over = float(max(inside.max() - 1.0, 0.0))
         under = float(max(-inside.min(), 0.0))
-        pct = 100.0 * float((cut > 1.0 + 1e-12).sum()) / max(cut.size, 1)
+        # threshold ABOVE the Krylov tolerance floor: the solve stops at
+        # its requested relative residual (~1e-10 -> solution error
+        # ~1e-9), so a roundoff-level 1e-12 count threshold measures the
+        # solver's stopping point, not the discretization's maximum
+        # principle (the round-4 early-exit GMRES exposed this: the old
+        # fixed-depth cycles oversolved to ~1e-12 by accident)
+        pct = 100.0 * float((cut > 1.0 + 1e-7).sum()) / max(cut.size, 1)
         worst = max(worst, over, under)
         rows.append((n, float(inside.max()), float(inside.min()),
                      cut.size, pct))
