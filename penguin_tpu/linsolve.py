@@ -302,14 +302,18 @@ def pgmres(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500, restart=40):
         j_f, V, R, cs, sn, g = jax.lax.while_loop(
             cycle_cond, cycle_body, (0, V, R, cs, sn, g)
         )
-        # back substitution on the rotated (upper-triangular) R; columns
-        # past j_f are zero with unit-substituted diagonals and zero g, so
-        # their y entries vanish and the early-exit solution is exact
+        # back substitution on the rotated (upper-triangular) R.  Columns
+        # >= j_f are all-zero (never set) with unit-substituted diagonals,
+        # but g[j_f] holds the NONZERO Givens residual estimate — left in,
+        # it makes y[j_f] = g[j_f] and x picks up a spurious g[j_f]*V[j_f]
+        # term (true residual ~||A||x reported relres).  Mask g above the
+        # completed depth so unrun columns contribute exactly zero.
         Rm = R[:m, :m]
         dsafe = jnp.where(jnp.abs(jnp.diagonal(Rm)) < 1e-30, 1.0,
                           jnp.diagonal(Rm))
         Rm = Rm - jnp.diag(jnp.diagonal(Rm)) + jnp.diag(dsafe)
-        y = jax.scipy.linalg.solve_triangular(Rm, g[:m], lower=False)
+        gm = jnp.where(jnp.arange(m) < j_f, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
         x_new = x + V[:m].T @ y
         return x_new, jnp.abs(g[j_f]), j_f
 
@@ -412,7 +416,11 @@ def fgmres(apply_fn, b, x0, Minv=None, tol=1e-8, maxiter=500, restart=40):
         dsafe = jnp.where(jnp.abs(jnp.diagonal(Rm)) < 1e-30, 1.0,
                           jnp.diagonal(Rm))
         Rm = Rm - jnp.diag(jnp.diagonal(Rm)) + jnp.diag(dsafe)
-        y = jax.scipy.linalg.solve_triangular(Rm, g[:m], lower=False)
+        # mask g past the completed Arnoldi depth (see pgmres): Z[j_f] is
+        # zero here so the spurious term cannot reach x, but y[j_f] must
+        # still vanish for the y-vector itself to be the LS solution
+        gm = jnp.where(jnp.arange(m) < j_f, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
         return x + Z.T @ y, jnp.abs(g[j_f]), j_f
 
     def cond(st):

@@ -103,6 +103,37 @@ def test_row_equilibrated_pgmres_beats_raw_scaling():
     assert np.abs(np.asarray(x - xt)).max() < 1e-6
 
 
+def test_pgmres_early_exit_true_residual_large_norm():
+    """Regression for the round-4 early-exit Arnoldi corruption: when a
+    cycle exits at j_f < m, the unmasked Givens entry g[j_f] injected a
+    spurious g[j_f]*V[j_f] term into x (reported relres 8e-5 vs TRUE
+    residual 8e-2 on a ||A||~2e3 matrix).  Gate the residual computed
+    DIRECTLY from (A, x, b) — not the solver's own telemetry — on a
+    large-norm system with a loose tol so the early exit actually fires."""
+    n = 100
+    key = jax.random.PRNGKey(11)
+    A = _spd(n, key) * 20.0          # ||A|| ~ 2e3-4e3
+    xt = jax.random.normal(jax.random.PRNGKey(12), (n,))
+    b = A @ xt
+    tol = 1e-4
+    x, it, res = pgmres(lambda v: A @ v, b, jnp.zeros(n),
+                        Minv=1.0 / jnp.diagonal(A), tol=tol,
+                        maxiter=200, restart=40)
+    # loose tol on an SPD system: converges well inside one restart cycle,
+    # exercising the early exit
+    assert 0 < int(it) < 40, int(it)
+    true_res = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert true_res <= 10.0 * tol, (true_res, float(res), int(it))
+
+    from penguin_tpu.linsolve import fgmres
+    xf, itf, _ = fgmres(lambda v: A @ v, b, jnp.zeros(n),
+                        Minv=lambda r: r / jnp.diagonal(A), tol=tol,
+                        maxiter=200, restart=40)
+    assert 0 < int(itf) < 40, int(itf)
+    true_res_f = float(jnp.linalg.norm(b - A @ xf) / jnp.linalg.norm(b))
+    assert true_res_f <= 10.0 * tol, (true_res_f, int(itf))
+
+
 def test_fgmres_flexible_preconditioner():
     """fgmres must converge with a NONLINEAR preconditioner (inner CG) —
     the case plain pgmres is not allowed to handle — and report the true
