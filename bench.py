@@ -69,7 +69,16 @@ def main():
         samples = [(timed(n2) - timed(n1)) / (n2 - n1) * 1e3
                    for _ in range(5)]
         pos = [s for s in samples if s > 0]
-        ms = min(pos) if pos else abs(sorted(samples)[len(samples) // 2])
+        if not pos:
+            # all-negative differences mean dispatch jitter swamped the
+            # loop-length delta — widen the span 4x and remeasure rather
+            # than report |noise| as a rate
+            print(f"# WARNING: all timing samples negative at n2={n2}; "
+                  f"remeasuring at n2={4 * n2}", file=sys.stderr)
+            samples = [(timed(4 * n2) - timed(n1)) / (4 * n2 - n1) * 1e3
+                       for _ in range(5)]
+            pos = [s for s in samples if s > 0]
+        ms = min(pos) if pos else float("nan")
         # iteration telemetry over a settled span (warm-started CG)
         _, it_last, it_max = fast.run_telemetry(T, n1)
         return ms, int(it_last), int(it_max)
