@@ -14,17 +14,17 @@ scan).  Published ranges (Schaefer & Turek 1996, 2D-2): Cd in [3.22, 3.24],
 Cl_max in [0.99, 1.01], St in [0.295, 0.305]; the reference script gates
 Cd in [3.1, 3.6], |Cl_mean| < 0.08, St in [0.29, 0.32] at 128x64.
 
-Measured (TPU v5e, f32, round 4, 256x128 implicit-Picard CN + fgmres/
-DCT-Schur with early-exit Arnoldi cycles, 4000 steps in **94 s wall =
-24 ms/step**, fgmres ~8 it/step; exact wall geometry via the -h/2 origin
-shift + ghost wall rows + DOF-centroid BC sampling):
-Cd_mean 3.3019, Cl_mean -0.0277, Cl_amp 1.1559, St 0.2999,
-dP_mean 2.4845 — St dead-center in the published window, dP within 0.2%,
-Cd within 2.2%.  128x64 `--coarse` on the same path: Cd 3.3029,
-Cl_amp 1.189, St 0.2999, dP 2.329 — the round-3 AB2 record at this
-resolution (Cd 3.54, St 0.325, OUTSIDE the reference's own 0.29-0.32
-window) is superseded; St now sits in the PUBLISHED band even at the
-reference's own grid.
+Measured (TPU v5e, f32, round 5, 256x128 implicit-Picard CN + fgmres/
+DCT-Schur, 4000 steps in **105 s wall = 26 ms/step**, fgmres ~8 it/step;
+exact wall geometry via the -h/2 origin shift + ghost wall rows +
+DOF-centroid BC sampling + the MOMENT-CONSISTENT CUT FLUX, now the
+default):
+Cd_mean 3.2819, Cl_mean -0.0270, Cl_amp 1.1371, St 0.2999,
+dP_mean 2.4749 — St dead-center in the published window, dP within 0.2%,
+Cd within 1.3% (round-4 centroid flux: 2.2%).  128x64 `--coarse` on the
+same path: Cd 3.2365 — INSIDE the published band [3.22, 3.24]'s 2D-2
+vicinity even at the reference's own grid (round-4 centroid: 3.3029) —
+Cl_amp 1.159, St 0.2999, dP 2.302.
 
 Run:  python benchmarks/dfg_cylinder_shedding.py           (256 x 128)
       python benchmarks/dfg_cylinder_shedding.py --coarse  (128 x 64)
@@ -182,19 +182,21 @@ print(f"dP_mean = {dP_mean:.4f}  (DFG: ~2.48)")
 shedding = Cl_amp > 0.05
 print(f"shedding developed: {shedding}")
 if coarse:
-    # grid-resolution allowance at 128x64 (the reference's own windows)
+    # 128x64 with the moment cut flux (measured Cd 3.2365, St 0.2999):
+    # tightened from the reference's own 3.1-3.6 / 0.28-0.33 windows
     assert shedding
-    assert 3.1 < Cd_mean < 3.6, Cd_mean
-    assert abs(Cl_mean) < 0.08, Cl_mean
-    assert 0.28 < St < 0.33, St
-else:
-    # 256x128: the reference's own Cd/Cl windows, St tightened to the
-    # PUBLISHED band (measured 0.2999), plus dP and Cl_amp gates the
-    # reference lacks (measured 2.4966 / 1.2395)
-    assert shedding
-    assert 3.15 < Cd_mean < 3.45, Cd_mean
+    assert 3.15 < Cd_mean < 3.35, Cd_mean
     assert abs(Cl_mean) < 0.08, Cl_mean
     assert 0.29 < St < 0.31, St
-    assert abs(dP_mean - 2.48) < 0.06, dP_mean
-    assert 0.95 < Cl_amp < 1.30, Cl_amp
+else:
+    # 256x128 moment cut flux (measured Cd 3.2819, dP 2.4749, Cl_amp
+    # 1.1371): Cd/dP tightened toward the published 3.22-3.24 / 2.48;
+    # Cl_amp stays a wide honesty gate (+14% above the published ~1.0 —
+    # the remaining known gap, see docs/benchmarks/dfg_shedding.md)
+    assert shedding
+    assert 3.18 < Cd_mean < 3.35, Cd_mean
+    assert abs(Cl_mean) < 0.08, Cl_mean
+    assert 0.29 < St < 0.31, St
+    assert abs(dP_mean - 2.48) < 0.03, dP_mean
+    assert 0.95 < Cl_amp < 1.25, Cl_amp
 print("OK")

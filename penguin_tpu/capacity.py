@@ -229,7 +229,7 @@ def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
                      compute_centroids: bool = True,
                      params=None, band_budget=None,
                      band_safety: float = _BAND_DEFAULT_SAFETY,
-                     cut_moments: bool = False) -> Capacity:
+                     cut_moments="auto") -> Capacity:
     """Compute all cut-cell capacities for ``body`` on ``mesh``.
 
     ``body`` must accept ``mesh.ndim`` coordinate arrays (broadcasting) and
@@ -262,6 +262,13 @@ def compute_capacity(body, mesh, p: int = 8, s: int = 2, dtype=None,
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
     dname = jnp.dtype(dtype).name
+    if cut_moments == "auto":
+        # default-on for static N>=2 geometry: the moment-consistent cut
+        # flux (StokesMono cut_flux="moment") needs Am/Bm/Vh, and building
+        # them rides the same fused quadrature sweep.  Traced-params builds
+        # keep them off (the moving solvers rebuild capacities per step and
+        # use the space-time engine, which carries its own moment path).
+        cut_moments = mesh.ndim >= 2 and not _is_traced(params)
     if band_budget == "auto":
         if (mesh.ndim >= 2 and mesh.ncells() >= _BAND_AUTO_MIN_CELLS
                 and not _is_traced(params)):
@@ -283,8 +290,8 @@ def compute_capacity_spacetime(body, space_mesh, t0, t1, p: int = 8,
                                s: int = 2, dtype=None,
                                compute_centroids: bool = True,
                                params=None, band_budget=None,
-                               band_safety: float = _BAND_DEFAULT_SAFETY
-                               ) -> Capacity:
+                               band_safety: float = _BAND_DEFAULT_SAFETY,
+                               cut_moments: bool = False) -> Capacity:
     """Space-time capacities on the slab [t0, t1] with *traced* time bounds:
     the geometry rebuild that the reference performs per step on the host
     (src/prescribedmotionsolver/diffusion.jl:248-256) runs here as part of
@@ -322,13 +329,14 @@ def compute_capacity_spacetime(body, space_mesh, t0, t1, p: int = 8,
             band_budget = None
     return _compute_capacity_st_jit(body, space_mesh, p, s, dtype.name,
                                     compute_centroids, band_budget,
-                                    float(band_safety), t01, params)
+                                    float(band_safety), bool(cut_moments),
+                                    t01, params)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _compute_capacity_st_jit(body, space_mesh, p, s, dtype_name,
                              compute_centroids, band_budget, band_safety,
-                             t01, params):
+                             cut_moments, t01, params):
     dtype = jnp.dtype(dtype_name)
     nodes = [np.asarray(v, dtype) for v in space_mesh.nodes] + [t01]
     n = space_mesh.n + (1,)
@@ -339,7 +347,8 @@ def _compute_capacity_st_jit(body, space_mesh, p, s, dtype_name,
     return _capacity_impl(wrapped, nodes, n, dtype, p, s, compute_centroids,
                           mesh_ref=None, spacetime=True,
                           np_shape=space_mesh.np_shape + (2,),
-                          band_budget=band_budget, band_safety=band_safety)
+                          band_budget=band_budget, band_safety=band_safety,
+                          cut_moments=cut_moments)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
@@ -536,7 +545,14 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
     # the constant-state problem off by up to 4.9e-2 and break grid
     # convergence of every solver on 'unlucky' geometries.  Domain-border
     # faces (no far-side cell) are exempt — the border rows own them.
-    do_moms = cut_moments and N >= 2 and not spacetime
+    # Space-time slabs carry moments on the SPATIAL axes only: the moment
+    # cut-flux closure corrects the spatial flux/continuity operators, and
+    # the Gauss identities behind gamma_half_moments hold verbatim on the
+    # slab (the time faces have e_a·n = 0 for every spatial a, so they
+    # drop out of the half-box divergence identity) — the slab A/B/V/Vh
+    # are simply the time-integrated measures.
+    n_mom = (N - 1) if spacetime else N
+    do_moms = cut_moments and n_mom >= 2
     # relative measure floor for centroid validity: f32 quadrature noise on
     # near-empty faces is ~1e-7 of the measure scale — an absolute ~tiny
     # gate lets noise/noise centroid ratios through (measured: 1e13-scale
@@ -560,7 +576,7 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
 
             fshape = tuple(n[i] + 1 if i == d else n[i] for i in range(N))
             Ad, Amoms = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
-            if do_moms:
+            if do_moms and d < n_mom:
                 # wet-face centroid (first moments come free from the
                 # quadrature; the d-component is the face coordinate)
                 cross_meas_f = 1.0
@@ -607,7 +623,7 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
                 return body(*_insert(cs, _d, _c))
 
             Bd, Bmoms = box_integrals(phi_line, cross_lo, cross_hi, p=p, s=s)
-            if do_moms:
+            if do_moms and d < n_mom:
                 cross_meas_f = 1.0
                 for i in range(N):
                     if i != d:
@@ -633,7 +649,7 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
     # --- lower-half-cell volumes Vh[d] (cut-moment builds only) -------------
     Vh = []
     if do_moms:
-        for d in range(N):
+        for d in range(n_mom):
             h_lo = [jnp.broadcast_to(lo[i], n) for i in range(N)]
             h_hi = [jnp.broadcast_to(C_cells[d] if i == d else hi[i], n)
                     for i in range(N)]
@@ -768,7 +784,9 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
                for d in range(N)]
 
     # --- face capacities A[d] on the face band ------------------------------
-    do_moms = cut_moments and N >= 2 and not spacetime
+    # slab builds: moments on the spatial axes only (see the dense path)
+    n_mom = (N - 1) if spacetime else N
+    do_moms = cut_moments and n_mom >= 2
     # relative measure floor + cell-box clamping — see the dense path
     eps_rel = 1e-12 if jnp.finfo(dtype).bits >= 64 else 1e-5
     tiny_d = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -801,7 +819,7 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
         Ad_b, Amoms_b = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
         Ad = _scatter_flat(jnp.where(ffull, cross_meas, 0.0),
                            fidx, Ad_b, fshape)
-        if do_moms:
+        if do_moms and d < n_mom:
             eps_m = eps_rel * jnp.broadcast_to(cross_meas, fshape
                                                ).ravel()[fg]
             Asafe_b = jnp.maximum(Ad_b, tiny_d)
@@ -849,7 +867,7 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
                            cidx, Bd_b, n)
         Bd = jnp.where(is_empty, 0.0, Bd)
         B.append(_pad_cells(Bd, np_shape))
-        if do_moms:
+        if do_moms and d < n_mom:
             eps_m = eps_rel * cross_meas.ravel()[cg]
             Bsafe_b = jnp.maximum(Bd_b, tiny_d)
             comps, ci = [], 0
@@ -869,7 +887,7 @@ def _capacity_impl_band(body, nodes_list, n, dtype, p, s, compute_centroids,
     # --- lower-half-cell volumes Vh[d] (cut-moment builds only) -------------
     Vh = []
     if do_moms:
-        for d in range(N):
+        for d in range(n_mom):
             h_lo = [_gather_cells(lo[i], n, cg) for i in range(N)]
             h_hi = [(C_cells[d].ravel()[cg] if i == d
                      else _gather_cells(hi[i], n, cg)) for i in range(N)]

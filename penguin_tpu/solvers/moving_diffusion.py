@@ -37,6 +37,7 @@ __all__ = [
     "MovingAdvDiffusionUnsteadyMono",
     "MovingAdvDiffusionUnsteadyDiph",
     "slice_spacetime",
+    "spatial_capacity_from_slab",
     "psi_weights",
     "moving_mono_diag",
     "solve_moving_mono_step",
@@ -118,6 +119,49 @@ def slice_spacetime(cap_st, clamp_rel=0.0):
         Gamma0 = Gamma0 * kf
     ops = DiffusionOps(A=A_sp, B=B_sp, V=V0, Wdag=make_wdag(W_sp))
     return ops, Va, Vb, Gamma0, C_sp, Cg_sp
+
+
+def spatial_capacity_from_slab(cap_st, mesh_sp):
+    """Spatial :class:`~penguin_tpu.capacity.Capacity` view of a
+    ``cut_moments=True`` space-time slab build.
+
+    A/B/V/W are the slab's TIME-INTEGRATED measures (slot-0 slices, the
+    same data :func:`slice_spacetime` feeds the slab operators), C_om/C_ga
+    the slab centroids' spatial components, and Am/Bm/Vh the slab cut
+    moments (built on spatial axes only).  The Gauss half-box identities
+    behind ``gamma_half_moments`` hold verbatim on the slab — the time
+    faces have ``e_a·n = 0`` for every spatial axis a, so they drop out —
+    which makes the whole moment cut-flux machinery (``gamma_half_moments``
+    + the cross-moment ``Xw`` operators) consume this view unchanged; the
+    resulting half-strip measures/centroids are the time-integrated
+    n_a-weighted interface moments the slab flux operator needs.  This is
+    what extends the moment-consistent wall placement (O(h) → superlinear,
+    see solvers/stokes.py) to moving boundaries; the reference's
+    prescribed-motion Stokes keeps the O(h) placement
+    (/root/reference/src/prescribedmotionsolver/stokes.jl:256-561)."""
+    from ..capacity import Capacity
+
+    N = cap_st.ndim - 1
+    sel = (..., 0)
+    if cap_st.Am is None:
+        raise ValueError("spatial_capacity_from_slab needs a slab built "
+                         "with compute_capacity_spacetime(..., "
+                         "cut_moments=True)")
+    return Capacity(
+        A=tuple(cap_st.A[d][sel] for d in range(N)),
+        B=tuple(cap_st.B[d][sel] for d in range(N)),
+        V=cap_st.V[sel],
+        W=tuple(cap_st.W[d][sel] for d in range(N)),
+        C_om=cap_st.C_om[..., 0, :N],
+        C_ga=cap_st.C_ga[..., 0, :N],
+        Gamma=cap_st.Gamma[sel],
+        cell_types=cap_st.cell_types[sel],
+        mesh=mesh_sp,
+        body=None,
+        Am=tuple(cap_st.Am[d][..., 0, :N] for d in range(N)),
+        Bm=tuple(cap_st.Bm[d][..., 0, :N] for d in range(N)),
+        Vh=tuple(cap_st.Vh[d][sel] for d in range(N)),
+    )
 
 
 def psi_weights(scheme, Vb, Va):

@@ -16,15 +16,19 @@ carry the dt factors) — unit-tested against StokesMono.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..assembly import eval_condition_value, _col_G_nz
 from ..boundary import Dirichlet, Outflow
-from ..capacity import compute_capacity_spacetime
-from ..operators import dm, dm_t
-from .moving_diffusion import psi_weights, slice_spacetime
+from ..capacity import compute_capacity_spacetime, gamma_half_moments
+from ..operators import _LsqGradient, _cross_weights, _shift_m, _shift_p, \
+    dm, dm_t, sw_apply, sw_applyT
+from .moving_diffusion import psi_weights, slice_spacetime, \
+    spatial_capacity_from_slab
 from .stokes import _AXIS_KEYS, _AXIS_KEYS_1D, PinPressureGauge, \
     VelocityBorder
 
@@ -32,11 +36,24 @@ __all__ = ["MovingStokesMono"]
 
 
 class MovingStokesMono:
-    def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None):
+    def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None,
+                 cut_flux="auto"):
         self.fluid = fluid
         self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
         self.bc_cut = bc_cut or Dirichlet(0.0)
         self.N = fluid.ndim
+        # ``cut_flux="moment"``: the moment-consistent cut flux extended to
+        # the space-time slab (see spatial_capacity_from_slab) — per step
+        # the slab capacities are built with ``cut_moments=True`` and the
+        # γ placement / wet-line cross-moment corrections are applied on
+        # the TIME-INTEGRATED measures, removing the O(h) moving-wall
+        # placement the reference's prescribed-motion Stokes keeps
+        # (/root/reference/src/prescribedmotionsolver/stokes.jl:256-561).
+        # "auto" = "moment" for N>=2, "centroid" in 1D (no transverse
+        # moments exist there).
+        if cut_flux == "auto":
+            cut_flux = "moment" if self.N >= 2 else "centroid"
+        self.cut_flux = cut_flux
         self.borders = tuple(
             VelocityBorder(fluid.mesh_u[d], self.bc_u[d], d)
             for d in range(self.N)
@@ -83,17 +100,50 @@ class MovingStokesMono:
                      t_next):
         N = self.N
         fl = self.fluid
+        moment = self.cut_flux == "moment"
         comp = []
+        caps_sp = []
+        ghm = []
         for d in range(N):
             cap_st = compute_capacity_spacetime(
                 body_st, fl.mesh_u[d], 0.0, dt, p=p, s=s,
-                params=(t,),
+                params=(t,), cut_moments=moment,
             )
-            comp.append(slice_spacetime(cap_st))
+            sl = slice_spacetime(cap_st)
+            if moment:
+                cap_sp = spatial_capacity_from_slab(cap_st, fl.mesh_u[d])
+                caps_sp.append(cap_sp)
+                ghm.append(gamma_half_moments(cap_sp))
+                sl = (dataclasses.replace(sl[0],
+                                          Xw=_cross_weights(cap_sp)),) \
+                    + sl[1:]
+            comp.append(sl)
         cap_p_st = compute_capacity_spacetime(
-            body_st, fl.mesh_p, 0.0, dt, p=p, s=s, params=(t,)
+            body_st, fl.mesh_p, 0.0, dt, p=p, s=s, params=(t,),
+            cut_moments=moment,
         )
         ops_p, Va_p, Vb_p, _, _, _ = slice_spacetime(cap_p_st)
+        ghm_p = None
+        divw = None
+        if moment:
+            cap_p_sp = spatial_capacity_from_slab(cap_p_st, fl.mesh_p)
+            ghm_p = gamma_half_moments(cap_p_sp)
+            # wet-face cross-moment div/grad pair (the pressure-drag half
+            # of the moment closure — see StokesMono.__init__): continuity
+            # samples A^p_d·uω_d at the full-face centre, the exact slab
+            # mass flux needs u at the wet-face centroid Am^p
+            divw = []
+            hmax = max(float(v) for v in fl.mesh_p.h)
+            for d in range(N):
+                cap_u = caps_sp[d]
+                lsq = _LsqGradient(cap_u)
+                delta = cap_p_sp.Am[d] - cap_u.C_om
+                delta = jnp.clip(delta, -hmax, hmax)
+                face_cut = (cap_p_sp.cell_types == -1) | \
+                    (cap_u.cell_types == -1)
+                delta = jnp.where(face_cut[..., None], delta, 0.0)
+                delta = delta * cap_p_sp.A[d][..., None]
+                divw.append(lsq.weights_for(delta))
 
         mu = fl.mu
         rho = fl.rho
@@ -137,6 +187,8 @@ class MovingStokesMono:
                     - dV * ugs[d]
                     - ops_p.A[d] * dm(pp, d)
                 )
+                if divw is not None:
+                    yw = yw - sw_applyT(divw[d], dm(pp, d))
                 yw = jnp.where(u_act[d], yw, uws[d])
                 yg = pplus * ugs[d]
                 yg = jnp.where(pplus != 0, yg, ugs[d])
@@ -148,6 +200,8 @@ class MovingStokesMono:
                 Bp = ops_p.B[d]
                 yp = yp - dm_t(Ap * uws[d], d) + dm_t(Ap * ugs[d], d) \
                     - Bp * dm_t(ugs[d], d)
+                if divw is not None:
+                    yp = yp - dm_t(sw_apply(divw[d], uws[d]), d)
             p_act = _col_G_nz(ops_p)
             yp = jnp.where(p_act, yp, pp)
             yp = jnp.where(self.pin_mask, pp, yp)
@@ -173,9 +227,37 @@ class MovingStokesMono:
                 # on the matrix side (see apply): rigid motions are exact
                 bw = Irho * Vb * uw_p \
                     - (1 - theta) * Imu * ops.GT(q) + load
+                if moment:
+                    # slab γ placement correction (static analogue:
+                    # StokesMono._gamma_moment_rhs): the ψ⁺-weighted tie
+                    # delivers pplus·g(C_ga) through H per half strip; the
+                    # exact slab Γ term wants pplus·g(X_half) on the
+                    # time-integrated half-strip measures.  Temporal
+                    # quadrature follows the scheme's own θ weights.
+                    Cgf = jnp.where((G0 > 0)[..., None], Cg, C_sp)
+                    gfco = [Cgf[..., i] for i in range(N)]
+                    for tw, tt in ((theta, t_next),
+                                   (1.0 - theta, t_next - dt)):
+                        if tw == 0.0:
+                            continue
+                        g_cga = eval_condition_value(
+                            self._cut(d).value, gfco, tt)
+                        dq = []
+                        for a in range(N):
+                            S_lo, X_lo, S_hi, X_hi = ghm[d][a]
+                            g_lo = eval_condition_value(
+                                self._cut(d).value,
+                                [X_lo[..., i] for i in range(N)], tt)
+                            g_hi = eval_condition_value(
+                                self._cut(d).value,
+                                [X_hi[..., i] for i in range(N)], tt)
+                            D_lo = pplus * S_lo * (g_lo - g_cga)
+                            D_hi = pplus * S_hi * (g_hi - g_cga)
+                            dq.append(_shift_m(D_hi, a) + D_lo)
+                        bw = bw - tw * Imu * ops.GT(ops.Wq(tuple(dq)))
                 bw = jnp.where(u_act[d], bw, 0.0)
                 gco = [Cg[..., i] for i in range(Cg.shape[-1])]
-                g = eval_condition_value(self.bc_cut.value, gco, t_next)
+                g = eval_condition_value(self._cut(d).value, gco, t_next)
                 bg = pplus * g
                 # dead slots keep an identity row but solve uγ = g (not 0):
                 # the continuity H-term differences uγ ACROSS cells, so a
@@ -189,10 +271,39 @@ class MovingStokesMono:
                 bw, bg = self.borders[d].rhs(bw, bg, t_next)
                 out += [bw, bg]
             bp = jnp.zeros_like(self.fluid.capacity_p.V)
+            if moment:
+                # continuity γ placement correction (static analogue:
+                # StokesMono._cont_moment_rhs) on the slab p-mesh
+                # half-strip moments
+                delta = 0.0
+                for d in range(N):
+                    _, _, _, G0d, C_spd, Cgd = comp[d]
+                    Cgf = jnp.where((G0d > 0)[..., None], Cgd, C_spd)
+                    gtie = eval_condition_value(
+                        self._cut(d).value,
+                        [Cgf[..., i] for i in range(N)], t_next)
+                    gtie = jnp.broadcast_to(gtie, G0d.shape)
+                    S_lo, X_lo, S_hi, X_hi = ghm_p[d]
+                    g_lo = eval_condition_value(
+                        self._cut(d).value,
+                        [X_lo[..., i] for i in range(N)], t_next)
+                    g_hi = eval_condition_value(
+                        self._cut(d).value,
+                        [X_hi[..., i] for i in range(N)], t_next)
+                    delta = delta + S_lo * (g_lo - gtie) \
+                        + S_hi * (g_hi - _shift_p(gtie, d))
+                p_act = _col_G_nz(ops_p)
+                bp = jnp.where(p_act, -delta, bp)
             bp = jnp.where(self.pin_mask, 0.0, bp)
+            if self.outflow_p_mask is not None:
+                bp = jnp.where(self.outflow_p_mask, 0.0, bp)
             return tuple(out) + (bp,)
 
         return apply, rhs
+
+    def _cut(self, d):
+        bc = self.bc_cut
+        return bc[d] if isinstance(bc, (tuple, list)) else bc
 
     def zero_state(self):
         N = self.N

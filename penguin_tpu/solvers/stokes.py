@@ -231,7 +231,7 @@ class StokesMono:
     """Fully coupled steady/unsteady Stokes."""
 
     def __init__(self, fluid, bc_u, pressure_gauge=None, bc_cut=None,
-                 wall_row="center", cut_row="center", cut_flux="centroid"):
+                 wall_row="center", cut_row="center", cut_flux="auto"):
         self.fluid = fluid
         self.bc_u = bc_u if isinstance(bc_u, tuple) else (bc_u,)
         self.gauge = pressure_gauge or PinPressureGauge()
@@ -248,14 +248,28 @@ class StokesMono:
         # Together they make the cut flux exact for linear velocity fields,
         # fixing the O(h) immersed-wall placement the reference shares
         # (src/solver/stokes.jl:122-178).  Requires capacities built with
-        # ``cut_moments=True``.
+        # ``cut_moments=True`` (the compute_capacity default for static
+        # N>=2 geometry since round 5).
+        # ``"auto"`` (default): "moment" whenever the capacities carry the
+        # moments and the cut condition is Dirichlet-like; "centroid" is
+        # the reference-parity fallback (Traction rows, space-time /
+        # moving capacities built without moments, 1D).
+        if cut_flux == "auto":
+            cut_flux = ("moment"
+                        if (not isinstance(self._cut(0), Traction)
+                            and N >= 2
+                            and all(fluid.capacity_u[d].Bm is not None
+                                    for d in range(N)))
+                        else "centroid")
         self.cut_flux = cut_flux
         self._ghm = None
         self._ghm_p = None
         self._divw = None
         if cut_flux == "moment" and isinstance(self._cut(0), Traction):
             raise ValueError("cut_flux='moment' supports Dirichlet cut "
-                             "conditions only (not Traction)")
+                             "conditions only (not Traction); the 'auto' "
+                             "default falls back to 'centroid' for "
+                             "Traction rows")
         if cut_flux == "moment":
             from ..capacity import gamma_half_moments
             from ..operators import make_diffusion_ops as _mkops
