@@ -575,6 +575,16 @@ def _capacity_impl(body, nodes_list, n, dtype, p, s, compute_centroids,
                 return body(*_insert(cs, _d, _f))
 
             fshape = tuple(n[i] + 1 if i == d else n[i] for i in range(N))
+            # Slab spatial faces keep the default TIME closed form: the
+            # moving solvers all interpolate the body linearly in t
+            # (Stefan marker fronts, prescribed-motion slabs), making phi
+            # exactly linear along t — the crossing-time root is then
+            # EXACT and the outer GL sees the smooth spatial dependence.
+            # The alternative (spatial closed form, GL in t) was tried in
+            # round 5: it is exact for static-in-slab bodies (where the
+            # time form leaves a stepped GL integrand, ~1.6% aperture
+            # error at 16^2) but broke the Stefan GN balance on moving
+            # fronts (Frank-disk radii scattered 0.66-1.09 vs 1.04).
             Ad, Amoms = box_integrals(phi_face, cross_lo, cross_hi, p=p, s=s)
             if do_moms and d < n_mom:
                 # wet-face centroid (first moments come free from the

@@ -35,6 +35,7 @@ __all__ = [
     "markers_rectangle",
     "markers_ellipse",
     "markers_crystal",
+    "markers_ngon",
     "polyline_sdf",
     "polyline_normals",
     "polyline_curvature",
@@ -79,6 +80,26 @@ def markers_rectangle(lo, hi, n_per_side=16):
     top = np.stack([xs[::-1], np.full_like(xs, hi[1])], -1)
     left = np.stack([np.full_like(ys, lo[0]), ys[::-1]], -1)
     return jnp.asarray(np.concatenate([bottom, right, top, left], axis=0))
+
+
+def markers_ngon(center, radius, n_sides, n=60, phase=0.0):
+    """Regular ``n_sides``-gon (circumradius ``radius``), ``n`` markers
+    distributed uniformly along the PERIMETER with every vertex hit
+    exactly when ``n`` is a multiple of ``n_sides`` — the faceted-seed
+    case (reference ``examples/2D/StefanFT/stefan_deca.jl`` family):
+    polygon corners give the marker chain curvature spikes that smooth
+    shapes never produce."""
+    m = int(n_sides)
+    per_side = max(int(round(n / m)), 1)
+    th = 2 * np.pi * np.arange(m) / m + phase
+    verts = np.stack([center[0] + radius * np.cos(th),
+                      center[1] + radius * np.sin(th)], axis=-1)
+    pts = []
+    for k in range(m):
+        a, b = verts[k], verts[(k + 1) % m]
+        lam = np.arange(per_side) / per_side
+        pts.append(a[None, :] * (1 - lam[:, None]) + b[None, :] * lam[:, None])
+    return jnp.asarray(np.concatenate(pts, axis=0))
 
 
 def markers_crystal(center, radius, n=96, n_lobes=6, amplitude=0.2):
@@ -452,6 +473,10 @@ class FrontTracker:
 
     def create_crystal(self, center, radius, n=96, n_lobes=6, amplitude=0.2):
         self.markers = markers_crystal(center, radius, n, n_lobes, amplitude)
+        return self
+
+    def create_ngon(self, center, radius, n_sides, n=60, phase=0.0):
+        self.markers = markers_ngon(center, radius, n_sides, n, phase)
         return self
 
     def sdf(self, x, y):

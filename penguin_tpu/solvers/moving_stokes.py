@@ -219,8 +219,10 @@ class MovingStokesMono:
                 uw_p = x_prev[2 * d]
                 ug_p = x_prev[2 * d + 1]
                 coords = [C_sp[..., i] for i in range(C_sp.shape[-1])]
-                f_p = eval_condition_value(fl.f_u, coords, t_next - dt)
-                f_n = eval_condition_value(fl.f_u, coords, t_next)
+                fu_d = fl.f_u[d] if isinstance(fl.f_u, (tuple, list)) \
+                    else fl.f_u
+                f_p = eval_condition_value(fu_d, coords, t_next - dt)
+                f_n = eval_condition_value(fu_d, coords, t_next)
                 load = ops.V * (theta * f_n + (1 - theta) * f_p)
                 q = ops.flux(pplus * uw_p, pplus * ug_p)
                 # Vb mass on the rhs pairs with the Va mass + swept -dV uγ
@@ -256,7 +258,18 @@ class MovingStokesMono:
                             dq.append(_shift_m(D_hi, a) + D_lo)
                         bw = bw - tw * Imu * ops.GT(ops.Wq(tuple(dq)))
                 bw = jnp.where(u_act[d], bw, 0.0)
-                gco = [Cg[..., i] for i in range(Cg.shape[-1])]
+                # γ-tie evaluation points: C_ga where the slab is cut, the
+                # slab CELL centroid elsewhere — the slab C_ga is stored as
+                # the zero vector at non-cut cells, and their uγ DOFs are
+                # NOT structurally inert: the continuity H-term couples
+                # cell k's γ into cell k±1's mass balance with O(h) weight
+                # wherever a full cell abuts a cut face, so evaluating g at
+                # the origin injected O(1) bogus wall values (the static
+                # solver's round-4 fix, stokes.py rhs_steady; measured
+                # here: 80% profile error on the static-body Couette
+                # annulus through the moving path)
+                Cgf = jnp.where((G0 > 0)[..., None], Cg, C_sp)
+                gco = [Cgf[..., i] for i in range(Cgf.shape[-1])]
                 g = eval_condition_value(self._cut(d).value, gco, t_next)
                 bg = pplus * g
                 # dead slots keep an identity row but solve uγ = g (not 0):
@@ -314,10 +327,16 @@ class MovingStokesMono:
         return tuple(out) + (jnp.zeros_like(self.fluid.capacity_p.V),)
 
     def solve(self, body_st, dt, t_start, t_end, scheme="BE", x0=None,
-              p=4, s=1, method="lstsq"):
+              p=4, s=1, method="lstsq", tol=1e-10, maxiter=2000):
         """``body_st(x..., tau, params=(t_abs,))`` is evaluated on the slab
         with slab-relative time tau in [0, dt]; params carries the absolute
-        slab start so rigid motions can be expressed."""
+        slab start so rigid motions can be expressed.
+
+        ``method``: "lstsq" (dense min-norm SVD per step — robust for
+        small grids, O(n³)) or "pgmres" (matrix-free row-equilibrated
+        restarted GMRES warm-started from the previous step — the scalable
+        path; the per-slab row scales are re-estimated each step since the
+        geometry moves)."""
         theta = 0.5 if scheme == "CN" else 1.0
         K = int(np.ceil((t_end - t_start) / dt - 1e-12))
         x = x0 if x0 is not None else self.zero_state()
@@ -332,6 +351,14 @@ class MovingStokesMono:
                 from jax.flatten_util import ravel_pytree
 
                 b = rhs_fn()
+                if method == "pgmres":
+                    from ..linsolve import pgmres, row_norm_equilibrator
+
+                    Minv = row_norm_equilibrator(apply_fn, b)
+                    sol, _, _ = pgmres(apply_fn, b, xc, Minv=Minv,
+                                       tol=tol, maxiter=maxiter,
+                                       restart=60)
+                    return sol, None
                 flat, unravel = ravel_pytree(b)
                 nloc = flat.size
 

@@ -1107,8 +1107,6 @@ class StokesMono:
             # O(n) iterations on an n² grid; with the DCT surrogate the
             # inner iteration count is O(1) in mesh size (only the cut/
             # border discrepancy remains for CG to correct).
-            from jax.scipy import fft as _jfft
-
             ncell = tuple(s_ - 1 for s_ in mask.shape)  # strip padding slot
             m_act = jnp.where(mask, 1.0, 0.0)
             nact_s = jnp.maximum(jnp.sum(m_act), 1.0)
@@ -1124,14 +1122,38 @@ class StokesMono:
 
             core = tuple(slice(0, nc) for nc in ncell)
 
+            # DCT-II as a MATMUL, not an FFT: Y = C X with
+            # C[k,j] = s_k cos(pi (j+1/2) k / n) (ortho), inverse = Cᵀ.
+            # TPU-native on two counts: the transform rides the MXU (two
+            # n³ matmuls beat the FFT's latency up to ~2k grids), and it
+            # partitions cleanly under GSPMD — a sharded operand times a
+            # replicated cosine matrix is a plain collective matmul,
+            # whereas the FFT lowering both materializes the grid and
+            # trips an XLA:CPU layout RET_CHECK when the input is sharded
+            # (observed in dryrun_ns_picard_multichip).
+            dtype0 = mask_dtype = jnp.zeros(0).dtype
+            Cmats = []
+            for d in range(N):
+                nd_ = ncell[d]
+                jj = np.arange(nd_)
+                kk = np.arange(nd_)[:, None]
+                Cd = (np.cos(np.pi * (jj[None, :] + 0.5) * kk / nd_)
+                      * np.sqrt(2.0 / nd_))
+                Cd[0] *= np.sqrt(0.5)
+                Cmats.append(jnp.asarray(Cd, dtype0))
+
+            def _along(M, x, axis):
+                return jnp.moveaxis(jnp.moveaxis(x, axis, -1) @ M.T,
+                                    -1, axis)
+
             def dct_inv(s):
                 sc = s[core]
                 for d in range(N):
-                    sc = _jfft.dct(sc, type=2, norm="ortho", axis=d)
+                    sc = _along(Cmats[d], sc, d)          # DCT-II
                 sc = sc / lam
                 sc = sc.at[(0,) * N].set(0.0)
                 for d in range(N):
-                    sc = _jfft.idct(sc, type=2, norm="ortho", axis=d)
+                    sc = _along(Cmats[d].T, sc, d)        # DCT-III (inv)
                 out = jnp.zeros_like(s)
                 out = out.at[core].set(sc)
                 return _deflate(out)

@@ -193,3 +193,129 @@ def test_couette_moment_beats_centroid():
     # benchmarks/couette_cylinder.py --convergence)
     assert errs["moment"] < 0.006, errs
     assert errs["moment"] < 1.05 * errs["centroid"], errs
+
+
+def test_spacetime_slab_moments_match_static_for_static_body():
+    """A STATIC body on the slab [0, dt]: the slab's time-integrated
+    measures must track dt x the static ones and gamma_half_moments on
+    the slab view must return S ≈ dt x S_static with nearby half-strip
+    centroids X — the identity behind extending the moment cut flux to
+    moving boundaries (spatial_capacity_from_slab).
+
+    Volumes are exact (the slab volume quadrature closed-forms along the
+    last SPATIAL axis).  Faces/planes keep the TIME closed form — exact
+    for the linear-in-t bodies every moving solver feeds (a spatial
+    closed form was tried and broke the Stefan GN balance, see
+    capacity.py) — so for a static-in-slab body their outer GL sees a
+    stepped integrand: the measured quadrature floor at p=4/s=2, 16² is
+    ~3% h on A, ~8% h on B, ~0.4 h on the half-strip centroids.  The
+    gates pin those floors so a regression (or a fix) is visible."""
+    from penguin_tpu.capacity import compute_capacity_spacetime
+    from penguin_tpu.solvers.moving_diffusion import \
+        spatial_capacity_from_slab
+
+    n, dt = 16, 0.37
+    mesh = pt.Mesh((n, n), (2.0, 2.0), (0.0, 0.0))
+    body = pt.geometry.circle((1.0, 1.0), 0.62)
+    cap = pt.compute_capacity(body, mesh, p=4, s=2, cut_moments=True)
+    cap_st = compute_capacity_spacetime(
+        lambda x, y, t: body(x, y), mesh, 0.0, dt, p=4, s=2,
+        cut_moments=True)
+    sp = spatial_capacity_from_slab(cap_st, mesh)
+
+    h = 2.0 / n
+    for d in range(2):
+        A_s = np.asarray(cap.A[d])
+        A_t = np.asarray(sp.A[d])
+        m = A_s > 0
+        assert np.abs(A_t[m] - dt * A_s[m]).max() < 0.05 * h * dt, d
+        assert A_t[~m].max() < 0.02 * h * dt, (d, A_t[~m].max() / dt)
+        assert np.abs(np.asarray(sp.B[d]) - dt * np.asarray(cap.B[d])
+                      ).max() < 0.1 * h * dt, d
+        # volumes/half-volumes: exact (spatial closed form)
+        assert np.allclose(np.asarray(sp.Vh[d]),
+                           dt * np.asarray(cap.Vh[d]), atol=1e-10 * dt), d
+        mm = A_s > 1e-3 * h
+        da = np.abs(np.asarray(sp.Am[d]) - np.asarray(cap.Am[d]))
+        assert da[mm].max() < 0.05 * h, (d, da[mm].max())
+    assert np.allclose(np.asarray(sp.V), dt * np.asarray(cap.V),
+                       atol=1e-10 * dt)
+
+    ghm_s = gamma_half_moments(cap)
+    ghm_t = gamma_half_moments(sp)
+    for a in range(2):
+        S_lo_s, X_lo_s, S_hi_s, X_hi_s = ghm_s[a]
+        S_lo_t, X_lo_t, S_hi_t, X_hi_t = ghm_t[a]
+        for S_s, X_s, S_t, X_t in ((S_lo_s, X_lo_s, S_lo_t, X_lo_t),
+                                   (S_hi_s, X_hi_s, S_hi_t, X_hi_t)):
+            dS = np.abs(np.asarray(S_t) - dt * np.asarray(S_s))
+            assert np.median(dS) < 1e-10 * dt, a
+            assert dS.max() < 0.15 * h * dt, (a, dS.max() / (h * dt))
+            m = np.abs(np.asarray(S_s)) > 1e-2 * h
+            dx = np.abs(np.asarray(X_t) - np.asarray(X_s))[m]
+            assert dx.max() < 0.5 * h, (a, dx.max() / h)
+
+
+def test_moving_stokes_moment_rigid_translation_row_exact():
+    """A rigidly translating fluid disk (uγ = border u = U): the state
+    u = U, p = 0 must satisfy every ACTIVE row of the slab system exactly
+    — for BOTH cut fluxes.  The moment path's γ/Xw/div corrections all
+    vanish on constants by construction; this pins that invariant on a
+    genuinely moving (fresh/dead-cell producing) geometry."""
+    from penguin_tpu.assembly import _col_G_nz
+    from penguin_tpu.capacity import compute_capacity_spacetime
+    from penguin_tpu.solvers.moving_diffusion import slice_spacetime
+    from penguin_tpu.solvers.moving_stokes import MovingStokesMono
+    from penguin_tpu.solvers.stokes import PinPressureGauge
+
+    n, L, U = 16, 2.0, 0.7
+    d = L / n
+    mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
+    mesh_ux = pt.Mesh((n, n), (L, L), (-0.5 * d, 0.0))
+    mesh_uy = pt.Mesh((n, n), (L, L), (0.0, -d * 0.5))
+    R = 0.4
+
+    def body0(x, y):
+        return jnp.sqrt((x - 0.8) ** 2 + (y - 1.0) ** 2) - R
+
+    caps = [pt.compute_capacity(body0, m, p=4, s=1)
+            for m in (mesh_ux, mesh_uy, mesh_p)]
+    fluid = pt.Fluid(
+        mesh_u=(mesh_ux, mesh_uy), mesh_p=mesh_p,
+        capacity_u=(caps[0], caps[1]),
+        operator_u=(pt.make_diffusion_ops(caps[0]),
+                    pt.make_diffusion_ops(caps[1])),
+        capacity_p=caps[2], operator_p=pt.make_diffusion_ops(caps[2]),
+        mu=0.5, rho=1.0,
+        f_u=lambda x, y, z: 0.0, f_p=lambda x, y, z: 0.0,
+    )
+    mv = pt.Dirichlet(U)
+    z0 = pt.Dirichlet(0.0)
+    bc_ux = pt.BorderConditions({k: mv for k in
+                                 ("left", "right", "bottom", "top")})
+    bc_uy = pt.BorderConditions({k: z0 for k in
+                                 ("left", "right", "bottom", "top")})
+
+    def body_st(x, y, tau, params):
+        t = params[0] + tau
+        return jnp.sqrt((x - 0.8 - U * t) ** 2 + (y - 1.0) ** 2) - R
+
+    dt = 0.05
+    for flux in ("moment", "centroid"):
+        s = MovingStokesMono(fluid, (bc_ux, bc_uy), PinPressureGauge(),
+                             (pt.Dirichlet(U), pt.Dirichlet(0.0)),
+                             cut_flux=flux)
+        xe = list(s.zero_state())
+        xe[0] = jnp.full_like(xe[0], U)
+        xe[1] = jnp.full_like(xe[1], U)
+        xe = tuple(xe)
+        apply_fn, rhs_fn = s._slab_system(body_st, 0.0, dt, 1.0, "BE",
+                                          4, 1, xe, dt)
+        res = [np.asarray(a - b) for a, b in zip(apply_fn(xe), rhs_fn())]
+        for k, mesh_k in ((0, mesh_ux), (2, mesh_uy)):
+            cap_k = compute_capacity_spacetime(
+                body_st, mesh_k, 0.0, dt, p=4, s=1, params=(0.0,))
+            ops_k, Va, Vb, *_ = slice_spacetime(cap_k)
+            act = np.asarray(_col_G_nz(ops_k) | (Va != 0) | (Vb != 0))
+            assert np.abs(res[k])[act].max() < 1e-10, (flux, k)
+        assert np.abs(res[4]).max() < 1e-10, flux

@@ -140,3 +140,21 @@ def test_apply_intercept_displacements_grows_circle():
     r = np.linalg.norm(np.asarray(ft.markers), axis=1)
     assert abs(r.mean() - 1.05) < 2e-3
     assert r.std() < 1e-3
+
+
+def test_markers_ngon_geometry():
+    """Regular n-gon generator: vertices on the circumcircle, markers on
+    the perimeter, counterclockwise orientation, correct enclosed area."""
+    from penguin_tpu.front_tracking import markers_ngon, polygon_area
+
+    mk = np.asarray(markers_ngon((1.0, -0.5), 2.0, n_sides=10, n=60))
+    assert mk.shape == (60, 2)
+    r = np.sqrt((mk[:, 0] - 1.0) ** 2 + (mk[:, 1] + 0.5) ** 2)
+    # every 6th marker is a vertex (60/10 per side) at the circumradius
+    assert np.allclose(r[::6], 2.0, atol=1e-12)
+    # all markers within [inradius, circumradius]
+    assert (r <= 2.0 + 1e-12).all()
+    assert (r >= 2.0 * np.cos(np.pi / 10) - 1e-12).all()
+    area = float(polygon_area(jnp.asarray(mk)))
+    exact = 0.5 * 10 * 2.0 ** 2 * np.sin(2 * np.pi / 10)
+    assert abs(area - exact) < 1e-10 * exact

@@ -84,3 +84,15 @@ def test_dryrun_ns_multichip():
     from penguin_tpu.parallel.sharding import dryrun_ns_multichip
 
     dryrun_ns_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_ns_picard_multichip():
+    """The robust production NS path (implicit-Picard CN + fgmres with the
+    DCT-CG block-Schur preconditioner) under SPMD: preconditioner equality
+    sharded vs unsharded + zero grid-sized all-gathers in the scan HLO
+    (the matmul DCT partitions; the FFT lowering did not)."""
+    from penguin_tpu.parallel.sharding import dryrun_ns_picard_multichip
+
+    _, n_gathers = dryrun_ns_picard_multichip(8)
+    assert n_gathers == 0, n_gathers
