@@ -20,14 +20,18 @@ refinement; the fitted order is gated at ~2.
 Run:  python benchmarks/duct3d_poiseuille.py           (CPU f64 study)
       python benchmarks/duct3d_poiseuille.py --tpu     (adds a TPU f32
                                                         ms/step row at
-                                                        48x48x32 CN)
+                                                        8x48x29 CN)
+      python benchmarks/duct3d_poiseuille.py --tpu-large   (PRODUCTION-
+                                    scale row: 128x128x77 = 1.26M cells,
+                                    CN/pgmres marched, warm-chunk timing)
 """
 
 import sys as _sys, os as _os
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 tpu_row = "--tpu" in _sys.argv
-if not tpu_row:
+tpu_large = "--tpu-large" in _sys.argv
+if not (tpu_row or tpu_large):
     from benchmarks.phaseflow.harness import ensure_cpu_f64
     ensure_cpu_f64()
 
@@ -187,5 +191,65 @@ def _tpu_row():
     print("OK")
 
 
+def _tpu_large_row():
+    """The >=1M-cell 3D NS number: 128x128x77 duct (1.26M pressure cells,
+    9.2M state values), CN + block-Schur pgmres marched from rest, f32.
+    Timed over warm 10-step chunks (one compiled scan, chunked under the
+    TPU-runtime watchdog).  Alongside ms/step the row reports GMRES
+    its/step and the cell-step throughput — the quantities a production
+    sizing decision needs; 'achieved bandwidth' is NOT printed because a
+    matrix-free NS step is a fused chain whose true HBM traffic XLA
+    decides (any number here would be a model, not a measurement)."""
+    import jax
+
+    n = 128
+    nx = 128
+    dt = 2e-3
+    global _SKIP_STEADY
+    _SKIP_STEADY = True
+    try:
+        _, _, solver = solve(n, nx=nx, dtype=jnp.float32)
+    finally:
+        _SKIP_STEADY = False
+    Ny, Nz = n, max(int(round(n * b / a)), 4)
+    ncells = nx * Ny * Nz
+    chunk = 10
+    t0 = time.time()
+    solver.solve_unsteady(dt, chunk * dt, scheme="CN", method="pgmres",
+                          tol=1e-5, maxiter=200)
+    jax.block_until_ready(solver.x)
+    print(f"# cold chunk (compile + {chunk} steps): {time.time()-t0:.0f} s",
+          flush=True)
+    its, rels = [], []
+    t_warm = time.time()
+    for k in range(2):
+        solver.solve_unsteady(dt, (k + 2) * chunk * dt, scheme="CN",
+                              method="pgmres", tol=1e-5, maxiter=200,
+                              x0=solver.x,
+                              t_start=(k + 1) * chunk * dt,
+                              conv_prev=getattr(solver, "conv_prev_out",
+                                                None))
+        jax.block_until_ready(solver.x)
+        its.append(np.asarray(solver.krylov_iters))
+        rels.append(np.asarray(solver.krylov_relres))
+    ms = (time.time() - t_warm) / (2 * chunk) * 1e3
+    it = np.concatenate(its)
+    rel = np.concatenate(rels)
+    umax = float(max(np.abs(np.asarray(u)).max() for u in solver.x[:6]))
+    thru = ncells / (ms * 1e-3) / 1e6
+    print(f"TPU f32 {nx}x{Ny}x{Nz} ({ncells/1e6:.2f}M cells) CN pgmres: "
+          f"{ms:.0f} ms/step warm, GMRES {it.mean():.0f} it/step "
+          f"(max {it.max()}, relres max {rel.max():.1e}), "
+          f"{thru:.1f} Mcell-steps/s, max|u| {umax:.3f}", flush=True)
+    assert np.isfinite(ms) and np.isfinite(umax) and umax < 10.0
+    assert rel.max() < 1e-3, rel.max()
+    print("OK")
+
+
 if __name__ == "__main__":
-    _tpu_row() if tpu_row else _study()
+    if tpu_large:
+        _tpu_large_row()
+    elif tpu_row:
+        _tpu_row()
+    else:
+        _study()

@@ -333,13 +333,26 @@ class MovingStokesMono:
         slab start so rigid motions can be expressed.
 
         ``method``: "lstsq" (dense min-norm SVD per step — robust for
-        small grids, O(n³)) or "pgmres" (matrix-free row-equilibrated
-        restarted GMRES warm-started from the previous step — the scalable
-        path; the per-slab row scales are re-estimated each step since the
-        geometry moves)."""
+        small grids, O(n³)), "pgmres" (matrix-free row-equilibrated
+        restarted GMRES warm-started from the previous step), or "fgmres"
+        (flexible GMRES with the STATIC geometry's block-Schur/DCT
+        preconditioner — the slab operator is ~dt x the static unsteady
+        Stokes operator away from the moving wall, so the static M is an
+        effective preconditioner for every slab; the scalable choice at
+        n >= 32 where plain equilibrated pgmres stalls, measured relres
+        8e-5 at 2000 its vs 7e-7 at 600 with M)."""
         theta = 0.5 if scheme == "CN" else 1.0
         K = int(np.ceil((t_end - t_start) / dt - 1e-12))
         x = x0 if x0 is not None else self.zero_state()
+
+        M_static = None
+        if method == "fgmres":
+            from .stokes import StokesMono
+
+            ref = StokesMono(self.fluid, self.bc_u, PinPressureGauge(),
+                             self.bc_cut, cut_flux="centroid")
+            M_static = ref.make_block_preconditioner(
+                dt=dt, theta=theta, schur="dct_cg", schur_cg_iters=8)
 
         @jax.jit
         def run(x0_):
@@ -351,6 +364,13 @@ class MovingStokesMono:
                 from jax.flatten_util import ravel_pytree
 
                 b = rhs_fn()
+                if method == "fgmres":
+                    from ..linsolve import fgmres
+
+                    sol, _, _ = fgmres(apply_fn, b, xc, Minv=M_static,
+                                       tol=tol, maxiter=maxiter,
+                                       restart=60)
+                    return sol, None
                 if method == "pgmres":
                     from ..linsolve import pgmres, row_norm_equilibrator
 
