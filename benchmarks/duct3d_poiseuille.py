@@ -15,7 +15,8 @@ outlet, ghost-row no-slip side walls (O(h^2) wall placement), steady
 Newton-Krylov on the FULL Navier-Stokes operator (convection is zero on
 the exact solution but every convection stencil is exercised).  The
 mid-duct cross-section is compared to the series under cross-section
-refinement; the fitted order is gated at ~2.
+refinement; measured orders (n=8..32): max-norm 1.71 (corner-ring
+limited), L2 1.82 (gated > 1.5 / > 1.8).
 
 Run:  python benchmarks/duct3d_poiseuille.py           (CPU f64 study)
       python benchmarks/duct3d_poiseuille.py --tpu     (adds a TPU f32
@@ -103,7 +104,7 @@ def solve(n, nx=6, dtype=None):
                               PinPressureGauge(), pt.Dirichlet(0.0),
                               wall_row="ghost")
     if _SKIP_STEADY:
-        return 0.0, 1.0, solver
+        return 0.0, 1.0, solver, 0.0
     solver.solve_steady_newton_krylov(max_iter=12, tol=1e-11,
                                      lin_maxiter=400)
     ux = np.asarray(solver.velocity(0))
@@ -113,7 +114,8 @@ def solve(n, nx=6, dtype=None):
     z = C[i_mid, :Ny, :Nz, 2]
     ue = u_exact(y, z)
     err = np.abs(ux[i_mid, :Ny, :Nz] - ue)
-    return float(err.max()), float(np.abs(ue).max()), solver
+    l2 = float(np.sqrt((err ** 2).mean()) / np.sqrt((ue ** 2).mean()))
+    return float(err.max()), float(np.abs(ue).max()), solver, l2
 
 
 _SKIP_STEADY = False
@@ -135,17 +137,29 @@ def u_exact_j(y, z):
 
 
 def _study():
-    errs, hs = [], []
-    for n in (8, 12, 16, 24):
+    """Measured (f64): max-norm errors 0.084/0.046/0.025/0.014/0.0079 at
+    n=8..32 — fitted order 1.71 STABLE across the sweep (an extra level
+    was added in round 5 to test the 'order rises toward 2' prediction:
+    it does not).  The max-norm error is CORNER-limited: the duct's four
+    wall-edge lines carry the ghost rows' 1D extrapolation degeneracy, so
+    the worst cell sits by an edge at every size; the L2 norm, which the
+    corner ring cannot dominate, fits 1.82 (gated > 1.8) — near-second
+    order in the bulk with an O(h^1.7) corner ring in max norm."""
+    errs, el2s, hs = [], [], []
+    for n in (8, 12, 16, 24, 32):
         t0 = time.time()
-        e, scale, _ = solve(n)
+        e, scale, _, l2 = solve(n)
         errs.append(e / scale)
+        el2s.append(l2)
         hs.append(2 * a / n)
-        print(f"n={n:3d}: max rel err {e / scale:.5f}  [{time.time()-t0:.1f} s]")
+        print(f"n={n:3d}: max rel err {e / scale:.5f}  L2 rel {l2:.5f}"
+              f"  [{time.time()-t0:.1f} s]")
     order = np.polyfit(np.log(hs), np.log(errs), 1)[0]
-    print(f"fitted order: {order:.2f}")
-    assert errs[-1] < 0.02, errs
+    order_l2 = np.polyfit(np.log(hs), np.log(el2s), 1)[0]
+    print(f"fitted order: max-norm {order:.2f}, L2 {order_l2:.2f}")
+    assert errs[-1] < 0.01, errs
     assert order > 1.5, order
+    assert order_l2 > 1.8, order_l2
     print("OK")
 
 
@@ -167,7 +181,7 @@ def _tpu_row():
     global _SKIP_STEADY
     _SKIP_STEADY = True
     try:
-        e, scale, solver = solve(n, nx=nx, dtype=jnp.float32)
+        e, scale, solver, _ = solve(n, nx=nx, dtype=jnp.float32)
     finally:
         _SKIP_STEADY = False
     # CN/AB2 + pgmres: the duct has NO cut cells, so the Chebyshev-Schur
@@ -208,23 +222,26 @@ def _tpu_large_row():
     global _SKIP_STEADY
     _SKIP_STEADY = True
     try:
-        _, _, solver = solve(n, nx=nx, dtype=jnp.float32)
+        _, _, solver, _ = solve(n, nx=nx, dtype=jnp.float32)
     finally:
         _SKIP_STEADY = False
     Ny, Nz = n, max(int(round(n * b / a)), 4)
     ncells = nx * Ny * Nz
-    chunk = 10
+    # SHORT dispatch chunks: a 10-step scan with maxiter-200 inner solves
+    # at this size crashed the TPU worker (runtime watchdog); 2-step
+    # chunks with maxiter 60 keep each dispatch well under it
+    chunk = 2
     t0 = time.time()
     solver.solve_unsteady(dt, chunk * dt, scheme="CN", method="pgmres",
-                          tol=1e-5, maxiter=200)
+                          tol=1e-5, maxiter=60)
     jax.block_until_ready(solver.x)
     print(f"# cold chunk (compile + {chunk} steps): {time.time()-t0:.0f} s",
           flush=True)
     its, rels = [], []
     t_warm = time.time()
-    for k in range(2):
+    for k in range(10):
         solver.solve_unsteady(dt, (k + 2) * chunk * dt, scheme="CN",
-                              method="pgmres", tol=1e-5, maxiter=200,
+                              method="pgmres", tol=1e-5, maxiter=60,
                               x0=solver.x,
                               t_start=(k + 1) * chunk * dt,
                               conv_prev=getattr(solver, "conv_prev_out",
@@ -232,7 +249,7 @@ def _tpu_large_row():
         jax.block_until_ready(solver.x)
         its.append(np.asarray(solver.krylov_iters))
         rels.append(np.asarray(solver.krylov_relres))
-    ms = (time.time() - t_warm) / (2 * chunk) * 1e3
+    ms = (time.time() - t_warm) / (10 * chunk) * 1e3
     it = np.concatenate(its)
     rel = np.concatenate(rels)
     umax = float(max(np.abs(np.asarray(u)).max() for u in solver.x[:6]))
