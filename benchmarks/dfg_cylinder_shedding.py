@@ -43,13 +43,16 @@ from penguin_tpu.solvers.navierstokes import NavierStokesMono
 from penguin_tpu.solvers.stokes import PinPressureGauge
 
 coarse = "--coarse" in _sys.argv
-nx, ny = (128, 64) if coarse else (256, 128)
+fine = "--fine" in _sys.argv
+nx, ny = (128, 64) if coarse else ((512, 256) if fine else (256, 128))
 Lx, Ly = 2.2, 0.41
 R, cx, cy = 0.05, 0.2, 0.2
 D = 2 * R
 Umax, Ubar = 1.5, 1.0
 rho, nu = 1.0, 1e-3
 dt, T_end, t_stats = 0.002, 8.0, 4.0
+if fine:
+    dt = 0.001  # rim CFL at the finer grid
 
 dx = Lx / nx
 dy = Ly / ny
@@ -114,13 +117,22 @@ def probe_idx(pt_xy):
 
 iA, iB = probe_idx((0.15, 0.2)), probe_idx((0.25, 0.2))
 
+# control-volume (momentum-deficit) force on grid lines ~6 cells off the
+# rim: the rim traction integral carries the O(h) cut-placement bias
+# (+14% on Cl_amp at this grid); F_cv(t) = Fs(t) - dM/dt in post
+cvf = solver.make_control_volume_recorder((0.10, 0.32, 0.08, 0.32))
+# O(h²) least-squares pressure probe AT the DFG surface points (the
+# nearest-centroid probe reads up to ~h off a stagnation point: -1.1%
+# on the steady 2D-1 dP, measured)
+probe_lsq = solver.make_pressure_probe([(0.15, 0.2), (0.25, 0.2)])
+
 
 def record(x):
     fx, fy = solver.interface_force_traced(x)
-    p = x[2 * solver.N]
-    # force ON the body; the state stores p = -p_physical (reference sign
-    # convention, stokes.py header) so the physical front-back Δp = pB - pA
-    return (-fx, -fy, p[iB] - p[iA])
+    pAB = probe_lsq(x)
+    Fsx, Fsy, Mx, My = cvf(x)
+    # force ON the body; physical front-minus-back pressure drop pA - pB
+    return (-fx, -fy, pAB[0] - pAB[1], Fsx, Fsy, Mx, My)
 
 
 t0 = time.time()
@@ -135,7 +147,7 @@ t0 = time.time()
 # TPU-runtime watchdog (worker crash); short warm-started chunks reuse
 # one compiled scan so the only per-chunk cost is the ~40 ms dispatch
 # round trip.
-chunk_steps = 500 if coarse else 100
+chunk_steps = 500 if coarse else (50 if fine else 100)
 n_steps = int(round(T_end / dt))
 logs, kits, rels = [], [], []
 x = None
@@ -149,7 +161,8 @@ for k0 in range(0, n_steps, chunk_steps):
     kits.append(np.asarray(solver.krylov_iters))
     rels.append(np.asarray(solver.krylov_relres))
 wall = time.time() - t0
-Fx, Fy, dP = (np.concatenate([lg[i] for lg in logs]) for i in range(3))
+Fx, Fy, dP, Fsx, Fsy, Mx, My = (
+    np.concatenate([lg[i] for lg in logs]) for i in range(7))
 times = (np.arange(n_steps) + 1) * dt
 kit = np.concatenate(kits)
 rel = np.concatenate(rels)
@@ -159,13 +172,23 @@ print(f"{nx}x{ny}, {n_steps} steps: {wall:.1f} s wall "
       f"relres max {rel.max():.1e}")
 
 scale = 0.5 * rho * Ubar**2 * D
-Cd = Fx / scale
-Cl = Fy / scale
+# control-volume force: F(t) = Fs(t) - dM/dt (box momentum content
+# differenced in time; np.gradient = central differences)
+Fx_cv = Fsx - np.gradient(Mx, dt)
+Fy_cv = Fsy - np.gradient(My, dt)
+Cd_rim = Fx / scale
+Cl_rim = Fy / scale
+Cd = Fx_cv / scale
+Cl = Fy_cv / scale
 w = times >= t_stats
 Cd_mean = float(np.mean(Cd[w]))
 Cl_mean = float(np.mean(Cl[w]))
 Cl_amp = float(np.max(Cl[w]) - np.min(Cl[w])) / 2
 dP_mean = float(np.mean(dP[w]))
+Cd_rim_mean = float(np.mean(Cd_rim[w]))
+Cl_rim_amp = float(np.max(Cl_rim[w]) - np.min(Cl_rim[w])) / 2
+print(f"rim-integral Cd_mean = {Cd_rim_mean:.4f}  Cl_amp = "
+      f"{Cl_rim_amp:.4f}  (O(h) cut-rim traction, for the record)")
 
 sig = Cl[w] - np.mean(Cl[w])
 spec = np.abs(np.fft.rfft(sig))
@@ -188,11 +211,17 @@ if coarse:
     assert 3.15 < Cd_mean < 3.35, Cd_mean
     assert abs(Cl_mean) < 0.08, Cl_mean
     assert 0.29 < St < 0.31, St
+elif fine:
+    # 512x256, dt=1e-3: sanity gates only until a measured record exists
+    assert shedding
+    assert 3.1 < Cd_mean < 3.4, Cd_mean
+    assert abs(Cl_mean) < 0.08, Cl_mean
+    assert 0.29 < St < 0.31, St
 else:
     # 256x128 moment cut flux (measured Cd 3.2819, dP 2.4749, Cl_amp
     # 1.1371): Cd/dP tightened toward the published 3.22-3.24 / 2.48;
     # Cl_amp stays a wide honesty gate (+14% above the published ~1.0 —
-    # the remaining known gap, see docs/benchmarks/dfg_shedding.md)
+    # the remaining known gap, see docs/benchmarks/dfg_cylinder.md)
     assert shedding
     assert 3.18 < Cd_mean < 3.35, Cd_mean
     assert abs(Cl_mean) < 0.08, Cl_mean

@@ -522,6 +522,201 @@ class NavierStokesMono(StokesMono):
         # makes it the drag/lift on the body)
         return Fx, Fy
 
+    def make_control_volume_recorder(self, box, nsamp=None, nq=2):
+        """Traced control-volume (momentum-deficit) force for UNSTEADY
+        runs — the jittable companion of :meth:`control_volume_force`.
+
+        Returns ``cvf(x) -> (Fs_x, Fs_y, M_x, M_y)`` for use inside a
+        jitted per-step ``record``: ``Fs`` is the surface integral of
+        ``−p n + μ(∇u+∇uᵀ)n − ρ u (u·n)`` over the box boundary and
+        ``M = ∫_box ρ u dV`` (bilinear quadrature, ``nq`` points per
+        pressure cell per axis).  The force ON the body at time t is
+        ``F(t) = Fs(t) − dM/dt`` (difference the logged M in
+        post-processing); for a steady state dM/dt = 0 and this reduces
+        to :meth:`control_volume_force`.  Rationale: the cut-rim
+        traction integral carries the O(h) rim-placement error — at DFG
+        2D-2 resolution (R/dx ≈ 5.8) that bias is ~+1.3% on mean Cd and
+        ~+14% on Cl amplitude versus the published values, while the
+        control volume uses only smooth-field values a few cells off
+        the rim.  No reference analogue (it reports the rim integral
+        only, navierstokes.jl:2977-3058)."""
+        if self.N != 2:
+            raise NotImplementedError("control_volume_force is 2D")
+        mu = self.fluid.mu
+        mu_val = 1.0 if callable(mu) else float(mu)
+        rho = self.fluid.rho
+        rho_val = 1.0 if callable(rho) else float(rho)
+        meshes = (self.fluid.mesh_u[0], self.fluid.mesh_u[1],
+                  self.fluid.mesh_p)
+        shapes = tuple(m.np_shape for m in meshes)
+
+        def bilin(mesh, shape, px, py):
+            # static numpy gather indices + weights -> traced closure
+            orig = [float(mesh.nodes[d][0]) + 0.5 * mesh.h[d]
+                    for d in range(2)]
+            h = [float(v) for v in mesh.h]
+            ci = (np.asarray(px, float) - orig[0]) / h[0]
+            cj = (np.asarray(py, float) - orig[1]) / h[1]
+            i0 = np.clip(np.floor(ci).astype(np.int32), 0, shape[0] - 2)
+            j0 = np.clip(np.floor(cj).astype(np.int32), 0, shape[1] - 2)
+            fi = np.clip(ci - i0, 0.0, 1.0)
+            fj = np.clip(cj - j0, 0.0, 1.0)
+
+            def f(arr):
+                w00 = jnp.asarray((1 - fi) * (1 - fj), arr.dtype)
+                w10 = jnp.asarray(fi * (1 - fj), arr.dtype)
+                w01 = jnp.asarray((1 - fi) * fj, arr.dtype)
+                w11 = jnp.asarray(fi * fj, arr.dtype)
+                return (arr[i0, j0] * w00 + arr[i0 + 1, j0] * w10
+                        + arr[i0, j0 + 1] * w01 + arr[i0 + 1, j0 + 1] * w11)
+            return f
+
+        x_lo, x_hi, y_lo, y_hi = (float(v) for v in box)
+        hmin = min(float(self.fluid.mesh_p.h[0]),
+                   float(self.fluid.mesh_p.h[1]))
+        dlt = 0.25 * hmin
+        if nsamp is None:
+            nsamp = 4 * max(int((x_hi - x_lo) / hmin),
+                            int((y_hi - y_lo) / hmin), 8)
+        # surface sample points (4 edges), + gradient stencil offsets
+        edges = []
+        for (n_vec, const_axis, cval, t_lo, t_hi) in (
+                ((1.0, 0.0), 0, x_hi, y_lo, y_hi),
+                ((-1.0, 0.0), 0, x_lo, y_lo, y_hi),
+                ((0.0, 1.0), 1, y_hi, x_lo, x_hi),
+                ((0.0, -1.0), 1, y_lo, x_lo, x_hi)):
+            t = np.linspace(t_lo, t_hi, nsamp)
+            w = np.full(nsamp, (t_hi - t_lo) / (nsamp - 1))
+            w[0] *= 0.5
+            w[-1] *= 0.5
+            if const_axis == 0:
+                px, py = np.full(nsamp, cval), t
+            else:
+                px, py = t, np.full(nsamp, cval)
+            edges.append((n_vec, px, py, w))
+        px_all = np.concatenate([e[1] for e in edges])
+        py_all = np.concatenate([e[2] for e in edges])
+        w_all = np.concatenate([e[3] for e in edges])
+        nx_all = np.concatenate([np.full(nsamp, e[0][0]) for e in edges])
+        ny_all = np.concatenate([np.full(nsamp, e[0][1]) for e in edges])
+
+        stencil = [(0.0, 0.0), (dlt, 0.0), (-dlt, 0.0),
+                   (0.0, dlt), (0.0, -dlt)]
+        samplers = []  # [field][stencil point]
+        for m, s in zip(meshes, shapes):
+            samplers.append([bilin(m, s, px_all + ox, py_all + oy)
+                             for (ox, oy) in stencil])
+
+        # volume-quadrature points: midpoints of an nq-per-cell subgrid
+        hq = hmin / nq
+        qx = np.arange(x_lo + 0.5 * hq, x_hi, hq)
+        qy = np.arange(y_lo + 0.5 * hq, y_hi, hq)
+        QX, QY = (a.ravel() for a in np.meshgrid(qx, qy, indexing="ij"))
+        wq = hq * hq
+        vol_samp = [bilin(meshes[d], shapes[d], QX, QY) for d in range(2)]
+        wj = jnp.asarray(w_all)
+        nxj = jnp.asarray(nx_all)
+        nyj = jnp.asarray(ny_all)
+
+        def cvf(x):
+            ux, uy = x[0], x[2]
+            p = -x[2 * self.N]  # state stores -p_phys
+            sx, sy, sp = samplers
+
+            def vals_grads(samp, arr):
+                v = samp[0](arr)
+                dx_ = (samp[1](arr) - samp[2](arr)) / (2 * dlt)
+                dy_ = (samp[3](arr) - samp[4](arr)) / (2 * dlt)
+                return v, dx_, dy_
+
+            uxs, duxdx, duxdy = vals_grads(sx, ux)
+            uys, duydx, duydy = vals_grads(sy, uy)
+            ps = sp[0](p)
+            un = uxs * nxj + uys * nyj
+            tx = (-ps * nxj + mu_val * (2 * duxdx * nxj
+                                        + (duxdy + duydx) * nyj)
+                  - rho_val * uxs * un)
+            ty = (-ps * nyj + mu_val * ((duydx + duxdy) * nxj
+                                        + 2 * duydy * nyj)
+                  - rho_val * uys * un)
+            Fsx = jnp.sum(wj * tx)
+            Fsy = jnp.sum(wj * ty)
+            Mx = rho_val * wq * jnp.sum(vol_samp[0](ux))
+            My = rho_val * wq * jnp.sum(vol_samp[1](uy))
+            return Fsx, Fsy, Mx, My
+
+        return cvf
+
+    def pressure_probe(self, points, x=None, radius=2.5):
+        """O(h²) pointwise physical pressure by a weighted least-squares
+        linear fit over active pressure-cell centroids near each point.
+
+        The nearest-active-centroid probe is only O(h): at a stagnation
+        point the centroid offset (up to ~h) times the local pressure
+        gradient is a percent-level error at DFG resolutions (measured
+        −1.1% on the 2D-1 ΔP).  Fitting p ≈ a + g·(c − x₀) over the
+        cells within ``radius`` pressure-cell widths and reporting ``a``
+        removes the offset error.  ``points`` is a list of N-tuples;
+        returns a list of pressures (physical sign; the state stores
+        −p_phys, stokes.py header).  Host-side diagnostic (numpy).
+
+        The reference reads the raw nearest cell value for its pressure
+        probes (navierstokes.jl:3083+); this probe is deliberately
+        better."""
+        x = x if x is not None else self.x
+        p = -np.asarray(x[2 * self.N], float)
+        idxs, wts = self._probe_weights(points, radius)
+        return [float(np.dot(w, p.ravel()[i])) for i, w in zip(idxs, wts)]
+
+    def _probe_weights(self, points, radius=2.5):
+        """The LSQ probe is LINEAR in the cell pressures: p(x₀) = Σ wᵢ pᵢ
+        with w = e₀ᵀ(AᵀWA)⁻¹AᵀW (moving-least-squares shape function).
+        Precomputing (flat indices, weights) per point lets the probe run
+        inside a jitted scan as one gather + dot per step."""
+        pc = np.asarray(self.fluid.capacity_p.C_om, float)
+        act = np.asarray(self.p_active)
+        # distances in per-axis CELL units: on anisotropic meshes an
+        # isotropic physical radius r*hmin selects a near-collinear
+        # sliver of cells (4 cells at DFG 512x256, dx/dy = 2.7) and the
+        # linear fit extrapolates wildly along the starved axis
+        # (measured: dP -11% vs nearest-centroid -1.3%)
+        h = np.array([float(v) for v in self.fluid.mesh_p.h])
+        flat_idx = np.arange(act.size)[act.ravel()]
+        cen = pc.reshape(-1, self.N)[act.ravel()]
+        # damp barely-constrained sliver-cell pressures by fluid fraction
+        vfrac = np.asarray(self.fluid.capacity_p.V, float).ravel()[
+            act.ravel()] / float(np.prod(h))
+        vfrac = np.clip(vfrac, 0.0, 1.0)
+        idxs, wts = [], []
+        for pt_xy in points:
+            d = (cen - np.asarray(pt_xy, float)) / h
+            r = np.sqrt((d * d).sum(1))
+            sel = r < radius
+            if sel.sum() < self.N + 2:  # pragma: no cover - tiny grids
+                idxs.append(flat_idx[[np.argmin(r)]])
+                wts.append(np.ones(1))
+                continue
+            ds = d[sel]
+            w = vfrac[sel] * (1.0 - r[sel] / radius) ** 2  # Wendland-style
+            A = np.concatenate([np.ones((sel.sum(), 1)), ds], axis=1)
+            Aw = A * w[:, None]
+            M = np.linalg.solve(Aw.T @ A, Aw.T)  # (N+1, npts)
+            idxs.append(flat_idx[sel])
+            wts.append(M[0])
+        return idxs, wts
+
+    def make_pressure_probe(self, points, radius=2.5):
+        """Traced :meth:`pressure_probe`: returns ``f(x) -> jnp array of
+        physical pressures at ``points`` for use inside a jitted per-step
+        ``record`` (one static gather + dot per point)."""
+        idxs, wts = self._probe_weights(points, radius)
+
+        def f(x):
+            p = -x[2 * self.N].ravel()  # state stores -p_phys
+            return jnp.stack([jnp.dot(jnp.asarray(w, p.dtype), p[i])
+                              for i, w in zip(idxs, wts)])
+        return f
+
     # ------------------------------------------------------------------
     # steady: Picard
     # ------------------------------------------------------------------
@@ -604,7 +799,8 @@ class NavierStokesMono(StokesMono):
     def solve_steady_newton_krylov(self, max_iter=25, tol=1e-9,
                                    lin_maxiter=400, x0=None,
                                    picard_warmup=0, verbose=False,
-                                   inner="fgmres", restart=100):
+                                   inner="fgmres", restart=100,
+                                   mom="jacobi", mom_cg_iters=8):
         """Jacobian-free Newton-Krylov for the steady problem (VERDICT
         round-1 item 8): block-Schur-preconditioned Krylov over the exact
         Jacobian-vector product ``jax.jvp`` of the nonlinear residual —
@@ -635,7 +831,7 @@ class NavierStokesMono(StokesMono):
         b = self.rhs_steady()
         x = x0 if x0 is not None else self.zero_state()
         M = self.make_block_preconditioner(
-            dt=None, theta=1.0,
+            dt=None, theta=1.0, mom=mom, mom_cg_iters=mom_cg_iters,
             **({"schur": "dct_cg"} if inner == "fgmres" else {}))
         if picard_warmup:
             for _ in range(picard_warmup):

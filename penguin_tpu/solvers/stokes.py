@@ -977,10 +977,22 @@ class StokesMono:
     # ------------------------------------------------------------------
     def make_block_preconditioner(self, dt=None, theta=1.0, cheb_iters=20,
                                   lmin=None, lmax=None, conv_diag=None,
-                                  schur="cheb", schur_cg_iters=25):
+                                  schur="cheb", schur_cg_iters=25,
+                                  mom="jacobi", mom_cg_iters=8):
         """Returns ``M(r) -> z`` approximating the inverse of the
         (unsteady if ``dt`` given) Stokes operator.  ``conv_diag``: extra
         per-component momentum diagonal (Picard convection).
+
+        ``mom``: momentum-block approximation.  "jacobi" (default) uses
+        the diagonal — for STEADY problems the block is the viscous
+        Laplacian, so the preconditioned conditioning grows like 1/h²
+        and restarted GMRES stagnates on fine grids (measured on DFG
+        2D-1 at 512x256: every JFNK inner solve hits the 800-iteration
+        cap and Newton stalls at |R| ~ 1.6e-5, leaving Cd 1.3% high;
+        at 384x192 the same solve converges).  "cg" runs
+        ``mom_cg_iters`` Jacobi-PCG sweeps on the masked SPD viscous
+        block per application — a NONLINEAR preconditioner: use under a
+        flexible outer method (linsolve.fgmres) only.
 
         ``lmin``/``lmax`` bound the spectrum of the Jacobi-scaled pressure
         Schur complement for the inner Chebyshev.  ``None`` (default)
@@ -1209,11 +1221,69 @@ class StokesMono:
                 rho = rho_new
             return x
 
+        if mom == "cg":
+            mom_solvers = []
+            for d in range(N):
+                idm = jnp.where(self.u_active[d], 1.0, 0.0)
+                for item in self.borders[d].items:
+                    idm = jnp.where(item[5], 0.0, idm)
+                if self._ghost[d] is not None:
+                    idm = idm.ravel().at[self._ghost[d]["gpos"]] \
+                        .set(0.0).reshape(idm.shape)
+                act_d = idm > 0.5
+                extra = jnp.zeros_like(diag_mom[d])
+                if dt is not None:
+                    extra = extra + (self.rho_diag[d]
+                                     * self.fluid.operator_u[d].V / dt)
+                if conv_diag is not None:
+                    extra = extra + conv_diag[d]
+
+                def mk(d=d, act_d=act_d, extra=extra, dinv_d=dinv[d]):
+                    def Aop(u):
+                        # masked SPD viscous (+ diagonal mass/convection)
+                        # block: inactive/border/ghost rows and columns
+                        # are zeroed so CG sees a symmetric operator on
+                        # the active subspace
+                        um = jnp.where(act_d, u, 0.0)
+                        y = (theta * self._visc(d, um, jnp.zeros_like(um))
+                             + extra * um)
+                        return jnp.where(act_d, y, 0.0)
+
+                    def solve(rb):
+                        b_ = jnp.where(act_d, rb, 0.0)
+                        x = jnp.zeros_like(b_)
+                        r_ = b_
+                        z = jnp.where(act_d, dinv_d * r_, 0.0)
+                        p_ = z
+                        rz = jnp.vdot(r_, z).real
+                        for _ in range(mom_cg_iters):
+                            Ap_ = Aop(p_)
+                            pAp = jnp.vdot(p_, Ap_).real
+                            alpha = rz / jnp.where(pAp <= 0.0, 1.0, pAp)
+                            alpha = jnp.where(pAp <= 0.0, 0.0, alpha)
+                            x = x + alpha * p_
+                            r_ = r_ - alpha * Ap_
+                            z = jnp.where(act_d, dinv_d * r_, 0.0)
+                            rz_new = jnp.vdot(r_, z).real
+                            beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+                            beta = jnp.where(rz == 0.0, 0.0, beta)
+                            rz = rz_new
+                            p_ = z + beta * p_
+                        return jnp.where(act_d, x, rb)
+                    return solve
+                mom_solvers.append(mk())
+
+            def mom_solve(d, rb):
+                return mom_solvers[d](rb)
+        else:
+            def mom_solve(d, rb):
+                return dinv[d] * rb
+
         def M(r):
             rws = r[0:2 * N:2]
             rgs = r[1:2 * N:2]
             rp = r[2 * N]
-            y = tuple(dinv[d] * rws[d] for d in range(N))
+            y = tuple(mom_solve(d, rws[d]) for d in range(N))
             zg = rgs
             s = rp - self._div(y, zg)
             s = jnp.where(self.p_active, s, 0.0)
@@ -1236,13 +1306,14 @@ class StokesMono:
                 zp = jnp.where(self.outflow_p_mask, rp, zp)
             out = []
             for d in range(N):
-                zw = y[d] - dinv[d] * self._grad(d, zp)
+                zw = y[d] - mom_solve(d, self._grad(d, zp))
                 zw = jnp.where(self.u_active[d], zw, rws[d])
                 for item in self.borders[d].items:
                     zw = jnp.where(item[5], rws[d], zw)
                 out += [zw, zg[d]]
             return tuple(out) + (zp,)
 
+        M.mom_solve = mom_solve  # diagnostics / tests
         return M
 
     def solve(self, method="auto", tol=1e-10, maxiter=None, x0=None,

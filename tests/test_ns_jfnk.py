@@ -65,6 +65,40 @@ def test_jfnk_kovasznay_converges():
     assert l2 < 2e-2
 
 
+def test_mom_cg_solves_viscous_block():
+    """The momentum inner-CG option (make_block_preconditioner mom="cg")
+    actually reduces the masked viscous-block residual well below one
+    Jacobi sweep — the building block for a fine-grid-robust JFNK
+    preconditioner.  NOTE (measured): swapping mom="cg" into the block
+    LDU while keeping the GᵀD⁻¹G Schur surrogate does NOT converge —
+    a better momentum elimination needs the matching (1/μ)-mass Schur
+    scaling; until that pairing lands, mom="cg" stays experimental and
+    the default is "jacobi"."""
+    solver, caps, mesh_ux, ue = _kovasznay(32)
+    M = solver.make_block_preconditioner(dt=None, theta=1.0,
+                                         schur="dct_cg", mom="cg",
+                                         mom_cg_iters=8)
+    d = 0
+    idm = jnp.where(solver.u_active[d], 1.0, 0.0)
+    for item in solver.borders[d].items:
+        idm = jnp.where(item[5], 0.0, idm)
+    act = idm > 0.5
+
+    def Aop(um):
+        um = jnp.where(act, um, 0.0)
+        y = solver._visc(d, um, jnp.zeros_like(um))
+        return jnp.where(act, y, 0.0)
+
+    rng = np.random.RandomState(0)
+    bm = jnp.where(act, jnp.asarray(rng.randn(*solver.zero_state()[0].shape)),
+                   0.0)
+    x = M.mom_solve(d, bm)
+    nb = float(jnp.linalg.norm(bm))
+    res = float(jnp.linalg.norm(Aop(jnp.where(act, x, 0.0)) - bm))
+    assert np.isfinite(res)
+    assert res < 0.3 * nb, (res, nb)  # measured 6.16 vs ||b|| 29.2
+
+
 def _stokes_fluid_2d(n=20, L=1.0):
     mesh_p = pt.Mesh((n, n), (L, L), (0.0, 0.0))
     d = L / n
