@@ -800,7 +800,8 @@ class NavierStokesMono(StokesMono):
                                    lin_maxiter=400, x0=None,
                                    picard_warmup=0, verbose=False,
                                    inner="fgmres", restart=100,
-                                   mom="jacobi", mom_cg_iters=8):
+                                   mom="jacobi", mom_cg_iters=8,
+                                   schur=None):
         """Jacobian-free Newton-Krylov for the steady problem (VERDICT
         round-1 item 8): block-Schur-preconditioned Krylov over the exact
         Jacobian-vector product ``jax.jvp`` of the nonlinear residual —
@@ -830,9 +831,11 @@ class NavierStokesMono(StokesMono):
 
         b = self.rhs_steady()
         x = x0 if x0 is not None else self.zero_state()
+        if schur is None:
+            schur = "dct_cg" if inner == "fgmres" else "cheb"
         M = self.make_block_preconditioner(
             dt=None, theta=1.0, mom=mom, mom_cg_iters=mom_cg_iters,
-            **({"schur": "dct_cg"} if inner == "fgmres" else {}))
+            schur=schur)
         if picard_warmup:
             for _ in range(picard_warmup):
                 apply_fn = self.make_picard_apply(x)

@@ -1171,6 +1171,20 @@ class StokesMono:
                 return _deflate(out)
 
             inner_prec = dct_inv
+        elif schur == "mass":
+            # Steady viscous-dominated Schur complement is spectrally
+            # equivalent to the (1/μ)-scaled pressure MASS matrix
+            # (Elman-Silvester-Wathen), NOT the Poisson surrogate GᵀD⁻¹G
+            # — the right pairing once the momentum block is actually
+            # solved (mom="cg") instead of Jacobi-scaled.  Ŝ⁻¹ = μ Mp⁻¹.
+            mu_p = self.fluid.mu
+            mu_p_val = 1.0 if callable(mu_p) else float(mu_p)
+            Vp = self.fluid.operator_p.V
+            Vp_inv = jnp.where(mask & (Vp > 0.0), 1.0 / jnp.where(
+                Vp > 0.0, Vp, 1.0), 0.0)
+
+            def inner_prec(r):
+                return mu_p_val * Vp_inv * r
         else:
             def inner_prec(r):
                 return dLp_inv * r
@@ -1221,7 +1235,7 @@ class StokesMono:
                 rho = rho_new
             return x
 
-        if mom == "cg":
+        if mom in ("cg", "cg_dst"):
             mom_solvers = []
             for d in range(N):
                 idm = jnp.where(self.u_active[d], 1.0, 0.0)
@@ -1238,7 +1252,67 @@ class StokesMono:
                 if conv_diag is not None:
                     extra = extra + conv_diag[d]
 
-                def mk(d=d, act_d=act_d, extra=extra, dinv_d=dinv[d]):
+                if mom == "cg_dst":
+                    # Constant-coefficient DST-I (homogeneous-Dirichlet)
+                    # surrogate of the masked viscous block as the inner
+                    # CG preconditioner — the velocity-space analogue of
+                    # the Schur dct_inv: mesh-size-independent inner
+                    # conditioning (Jacobi-PCG on the viscous Laplacian
+                    # needs O(n) sweeps; the surrogate leaves CG only the
+                    # cut/border discrepancy).  Coefficients from the
+                    # active-mean of the exact interior stencil weight
+                    # μ B_a² Wꜝ_a per axis (anisotropy-correct).
+                    ops_d = self.fluid.operator_u[d]
+                    m_act = jnp.where(act_d, 1.0, 0.0)
+                    nact_d = jnp.maximum(jnp.sum(m_act), 1.0)
+                    ncell_d = tuple(s_ - 1 for s_ in act_d.shape)
+                    lam_m = jnp.zeros(ncell_d)
+                    for a in range(N):
+                        wa = (theta * self.mu_diag[d] * ops_d.B[a] ** 2
+                              * ops_d.Wdag[a])
+                        wbar = jnp.sum(wa * m_act) / nact_d
+                        k = jnp.arange(ncell_d[a])
+                        shp = [1] * N
+                        shp[a] = ncell_d[a]
+                        lam_m = lam_m + wbar * 2.0 * (
+                            1.0 - jnp.cos(jnp.pi * (k + 1.0)
+                                          / (ncell_d[a] + 1))).reshape(shp)
+                    lam_m = lam_m + jnp.sum(extra * m_act) / nact_d
+                    lam_m = jnp.where(lam_m <= 0.0, 1.0, lam_m)
+                    dtype0 = jnp.zeros(0).dtype
+                    Smats = []
+                    for a in range(N):
+                        na = ncell_d[a]
+                        jj = np.arange(na)
+                        kk = np.arange(na)[:, None]
+                        Sa = (np.sin(np.pi * (jj[None, :] + 1.0)
+                                     * (kk + 1.0) / (na + 1))
+                              * np.sqrt(2.0 / (na + 1)))
+                        Smats.append(jnp.asarray(Sa, dtype0))
+                    core_d = tuple(slice(0, nc) for nc in ncell_d)
+
+                    def _along_m(Mt, x, axis):
+                        return jnp.moveaxis(
+                            jnp.moveaxis(x, axis, -1) @ Mt.T, -1, axis)
+
+                    def dst_inv(r, lam_m=lam_m, Smats=Smats,
+                                core_d=core_d, act_d=act_d):
+                        rc = r[core_d]
+                        for a in range(N):
+                            rc = _along_m(Smats[a], rc, a)  # DST-I (=inv)
+                        rc = rc / lam_m
+                        for a in range(N):
+                            rc = _along_m(Smats[a], rc, a)
+                        out = jnp.zeros_like(r)
+                        out = out.at[core_d].set(rc)
+                        return jnp.where(act_d, out, 0.0)
+
+                    prec_d = dst_inv
+                else:
+                    prec_d = None  # Jacobi below
+
+                def mk(d=d, act_d=act_d, extra=extra, dinv_d=dinv[d],
+                       prec_d=prec_d):
                     def Aop(u):
                         # masked SPD viscous (+ diagonal mass/convection)
                         # block: inactive/border/ghost rows and columns
@@ -1249,11 +1323,16 @@ class StokesMono:
                              + extra * um)
                         return jnp.where(act_d, y, 0.0)
 
+                    def prec(r_):
+                        if prec_d is not None:
+                            return prec_d(r_)
+                        return jnp.where(act_d, dinv_d * r_, 0.0)
+
                     def solve(rb):
                         b_ = jnp.where(act_d, rb, 0.0)
                         x = jnp.zeros_like(b_)
                         r_ = b_
-                        z = jnp.where(act_d, dinv_d * r_, 0.0)
+                        z = prec(r_)
                         p_ = z
                         rz = jnp.vdot(r_, z).real
                         for _ in range(mom_cg_iters):
@@ -1263,7 +1342,7 @@ class StokesMono:
                             alpha = jnp.where(pAp <= 0.0, 0.0, alpha)
                             x = x + alpha * p_
                             r_ = r_ - alpha * Ap_
-                            z = jnp.where(act_d, dinv_d * r_, 0.0)
+                            z = prec(r_)
                             rz_new = jnp.vdot(r_, z).real
                             beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
                             beta = jnp.where(rz == 0.0, 0.0, beta)
@@ -1295,7 +1374,8 @@ class StokesMono:
             # amplify it cosh-fast); route that component through a bounded
             # identity instead — the pin/gauge rows own the level anyway
             mean_s = jnp.sum(jnp.where(mask, s, 0.0)) / nact
-            solve_s = schur_cg if schur in ("cg", "dct_cg") else cheb
+            solve_s = (inner_prec if schur == "mass"
+                       else schur_cg if schur in ("cg", "dct_cg") else cheb)
             zp = -(solve_s(_deflate(s))
                    + (mean_s / jnp.maximum(lmax, 1e-30))
                    * jnp.where(mask, 1.0, 0.0))
